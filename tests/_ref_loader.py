@@ -112,9 +112,82 @@ def _install_diffusers_stub():
     diffusers.utils = utils_mod
 
 
+def _install_scheduler_stubs():
+    """Extra diffusers pieces used by the reference fm_solvers files."""
+    import enum
+    import functools
+    import inspect
+
+    import torch
+
+    _install_diffusers_stub()
+    if "diffusers.schedulers.scheduling_utils" in sys.modules:
+        return
+
+    sched_utils = types.ModuleType("diffusers.schedulers.scheduling_utils")
+
+    class KarrasDiffusionSchedulers(enum.Enum):
+        DDIMScheduler = 1
+
+    class SchedulerMixin:
+        def register_to_config(self, **kwargs):
+            for k, v in kwargs.items():
+                setattr(self.config, k, v)
+
+    @dataclasses.dataclass
+    class SchedulerOutput:
+        prev_sample: object
+
+    sched_utils.KarrasDiffusionSchedulers = KarrasDiffusionSchedulers
+    sched_utils.SchedulerMixin = SchedulerMixin
+    sched_utils.SchedulerOutput = SchedulerOutput
+
+    schedulers = types.ModuleType("diffusers.schedulers")
+    schedulers.scheduling_utils = sched_utils
+
+    utils_mod = sys.modules["diffusers.utils"]
+
+    def deprecate(*args, **kwargs):
+        pass
+
+    utils_mod.deprecate = deprecate
+    utils_mod.is_scipy_available = lambda: False
+
+    torch_utils = types.ModuleType("diffusers.utils.torch_utils")
+
+    def randn_tensor(shape, generator=None, device=None, dtype=None):
+        return torch.randn(shape, generator=generator, dtype=dtype)
+
+    torch_utils.randn_tensor = randn_tensor
+    utils_mod.torch_utils = torch_utils
+
+    # a register_to_config that really captures the init args into .config
+    cfg_utils = sys.modules["diffusers.configuration_utils"]
+
+    def register_to_config(init):
+        @functools.wraps(init)
+        def wrapper(self, *args, **kwargs):
+            sig = inspect.signature(init)
+            bound = sig.bind(self, *args, **kwargs)
+            bound.apply_defaults()
+            cfg = {k: v for k, v in bound.arguments.items() if k != "self"}
+            self.config = types.SimpleNamespace(**cfg)
+            init(self, *args, **kwargs)
+        return wrapper
+
+    cfg_utils.register_to_config = register_to_config
+
+    sys.modules["diffusers.schedulers"] = schedulers
+    sys.modules["diffusers.schedulers.scheduling_utils"] = sched_utils
+    sys.modules["diffusers.utils.torch_utils"] = torch_utils
+    sys.modules["diffusers"].schedulers = schedulers
+
+
 def load_reference_module(relpath: str, name: str):
     """Import a single reference file by path (no package context)."""
     _install_diffusers_stub()
+    if "fm_solvers" in relpath:
+        _install_scheduler_stubs()
     spec = importlib.util.spec_from_file_location(
         name, f"{REFERENCE_ROOT}/{relpath}")
     mod = importlib.util.module_from_spec(spec)
