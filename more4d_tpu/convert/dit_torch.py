@@ -1,0 +1,149 @@
+"""Torch -> flax weight conversion for the Wan DiT (3D and 4D variants).
+
+Maps a ``WanTransformer4DModel`` / ``WanTransformer3DModel`` state dict
+(diffusion_pytorch_model.safetensors of Wan2.1-Fun checkpoints, plus the
+4D-STraG additions) onto :class:`more4d_tpu.models.wan_dit.WanDiT` params.
+Per-block tensors are stacked along axis 0 for the scanned block layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DiTConfig
+
+
+def _np(v):
+    return v.detach().cpu().float().numpy() if hasattr(v, "detach") \
+        else np.asarray(v)
+
+
+def _dense(sd, key):
+    return {"kernel": _np(sd[key + ".weight"]).T,
+            "bias": _np(sd[key + ".bias"])}
+
+
+def _rms(sd, key):
+    return {"weight": _np(sd[key + ".weight"])}
+
+
+def _ln(sd, key):
+    return {"scale": _np(sd[key + ".weight"]), "bias": _np(sd[key + ".bias"])}
+
+
+def _ln_affine(sd, key):
+    return {"weight": _np(sd[key + ".weight"]),
+            "bias": _np(sd[key + ".bias"])}
+
+
+def _conv3d(sd, key):
+    w = np.transpose(_np(sd[key + ".weight"]), (2, 3, 4, 1, 0))
+    return {"kernel": w, "bias": _np(sd[key + ".bias"])}
+
+
+def _conv2d(sd, key):
+    w = np.transpose(_np(sd[key + ".weight"]), (2, 3, 1, 0))
+    return {"kernel": w, "bias": _np(sd[key + ".bias"])}
+
+
+def _self_attn(sd, key, qk_norm=True):
+    out = {n: _dense(sd, f"{key}.{n}") for n in ("q", "k", "v", "o")}
+    if qk_norm:
+        out["norm_q"] = _rms(sd, key + ".norm_q")
+        out["norm_k"] = _rms(sd, key + ".norm_k")
+    return out
+
+
+def _cross_attn(sd, key, i2v, qk_norm=True):
+    out = _self_attn(sd, key, qk_norm)
+    if i2v:
+        out["k_img"] = _dense(sd, key + ".k_img")
+        out["v_img"] = _dense(sd, key + ".v_img")
+        if qk_norm:
+            out["norm_k_img"] = _rms(sd, key + ".norm_k_img")
+    return out
+
+
+def _block(sd, key, cfg: DiTConfig):
+    out = {
+        "modulation": _np(sd[key + ".modulation"]),
+        "self_attn": _self_attn(sd, key + ".self_attn", cfg.qk_norm),
+        "cross_attn": _cross_attn(sd, key + ".cross_attn",
+                                  cfg.model_type == "i2v", cfg.qk_norm),
+        "ffn": {"fc1": _dense(sd, key + ".ffn.0"),
+                "fc2": _dense(sd, key + ".ffn.2")},
+    }
+    if cfg.cross_attn_norm:
+        out["norm3"] = _ln_affine(sd, key + ".norm3")
+    if cfg.motion_guidance:
+        for n in ("spatial_guidance_self", "spatial_guidance_ffn"):
+            out[n] = {
+                "spatial_guide": _dense(sd, f"{key}.{n}.spatial_guide.1"),
+                "gate": _np(sd[f"{key}.{n}.gate"]),
+            }
+    return out
+
+
+def convert_dit_state_dict(sd, cfg: DiTConfig):
+    """sd: torch-key -> tensor mapping; returns flax params pytree."""
+    sd = {k: v for k, v in sd.items()}
+    params = {
+        "patch_embedding": _conv3d(sd, "patch_embedding"),
+        "text_fc1": _dense(sd, "text_embedding.0"),
+        "text_fc2": _dense(sd, "text_embedding.2"),
+        "time_fc1": _dense(sd, "time_embedding.0"),
+        "time_fc2": _dense(sd, "time_embedding.2"),
+        "time_proj": _dense(sd, "time_projection.1"),
+        "head": {
+            "modulation": _np(sd["head.modulation"]),
+            "head": _dense(sd, "head.head"),
+        },
+    }
+    if cfg.model_type == "i2v":
+        params["img_ln_in"] = _ln(sd, "img_emb.proj.0")
+        params["img_fc1"] = _dense(sd, "img_emb.proj.1")
+        params["img_fc2"] = _dense(sd, "img_emb.proj.3")
+        params["img_ln_out"] = _ln(sd, "img_emb.proj.4")
+    if cfg.ref_conv and "ref_conv.weight" in sd:
+        params["ref_conv_layer"] = _conv2d(sd, "ref_conv")
+    if cfg.motion_guidance and "feature_adapter.0.weight" in sd:
+        params["feature_adapter_1"] = _conv2d(sd, "feature_adapter.0")
+        params["feature_adapter_2"] = _conv2d(sd, "feature_adapter.2")
+
+    blocks = [_block(sd, f"blocks.{i}", cfg) for i in range(cfg.num_layers)]
+    if cfg.scan_blocks:
+        import jax
+
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *blocks)
+        params["blocks"] = {"block": stacked}
+    else:
+        for i, b in enumerate(blocks):
+            params[f"blocks_{i}"] = b
+    return {"params": params}
+
+
+def load_wan_dit(path: str, cfg: DiTConfig):
+    """Load a Wan2.1-Fun transformer checkpoint directory or file."""
+    import os
+
+    if os.path.isdir(path):
+        import glob
+
+        files = sorted(glob.glob(os.path.join(
+            path, "diffusion_pytorch_model*.safetensors")))
+        sd = {}
+        from safetensors import safe_open
+
+        for f in files:
+            with safe_open(f, framework="np") as fh:
+                for k in fh.keys():
+                    sd[k] = fh.get_tensor(k)
+    elif path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_dit_state_dict(sd, cfg)

@@ -152,18 +152,26 @@ class CrossAttention(nn.Module):
 
 
 class SpatialGuidance(nn.Module):
-    """Zero-initialised FiLM from MPM features (wan_transformer4d.py:739-783)."""
+    """Zero-initialised FiLM from MPM features (wan_transformer4d.py:739-783).
+
+    ``mask`` ([L, 1] float, optional) marks tokens that have real features;
+    beyond them scale/shift are zero — the reference zero-pads scale/shift
+    *after* the linear (:772-776), so padded tokens must not receive the
+    projection bias.
+    """
 
     cfg: DiTConfig
 
     @nn.compact
-    def __call__(self, x, features):
+    def __call__(self, x, features, mask=None):
         cfg = self.cfg
         h = nn.silu(features.astype(cfg.dtype))
         params = nn.Dense(2 * cfg.dim, kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.zeros, dtype=cfg.dtype,
                           param_dtype=cfg.param_dtype,
                           name="spatial_guide")(h)
+        if mask is not None:
+            params = params * mask[None].astype(params.dtype)
         scale, shift = jnp.split(params, 2, axis=-1)
         gate = self.param("gate", nn.initializers.zeros, (cfg.dim,),
                           cfg.param_dtype).astype(cfg.dtype)
@@ -178,7 +186,7 @@ class WanBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, e0, context, rope_cos, rope_sin, kv_lens,
-                 mpm_tokens):
+                 mpm_tokens, mpm_mask):
         cfg = self.cfg
         modulation = self.param(
             "modulation",
@@ -198,7 +206,7 @@ class WanBlock(nn.Module):
         h = layer_norm(x, cfg.eps) * (1 + scale_sa) + shift_sa
         if cfg.motion_guidance:
             h = SpatialGuidance(cfg, name="spatial_guidance_self")(
-                h, mpm_tokens)
+                h, mpm_tokens, mpm_mask)
         y = SelfAttention(cfg, name="self_attn")(h, rope_cos, rope_sin,
                                                  kv_lens)
         x = x + y * gate_sa
@@ -213,7 +221,7 @@ class WanBlock(nn.Module):
         h = layer_norm(x, cfg.eps) * (1 + scale_ff) + shift_ff
         if cfg.motion_guidance:
             h = SpatialGuidance(cfg, name="spatial_guidance_ffn")(
-                h, mpm_tokens)
+                h, mpm_tokens, mpm_mask)
         y = FeedForward(cfg.dim, cfg.ffn_dim, dtype=cfg.dtype,
                         param_dtype=cfg.param_dtype, name="ffn")(h)
         x = x + y * gate_ff
@@ -227,9 +235,10 @@ class _ScanBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, e0, context, rope_cos, rope_sin, kv_lens,
-                 mpm_tokens):
+                 mpm_tokens, mpm_mask):
         x = WanBlock(self.cfg, name="block")(
-            x, e0, context, rope_cos, rope_sin, kv_lens, mpm_tokens)
+            x, e0, context, rope_cos, rope_sin, kv_lens, mpm_tokens,
+            mpm_mask)
         return x, None
 
 
@@ -270,6 +279,7 @@ class DiTIntermediates:
     rope_sin: jnp.ndarray
     kv_lens: Optional[jnp.ndarray]
     mpm_tokens: Optional[jnp.ndarray]
+    mpm_mask: Optional[jnp.ndarray]
     grid: Tuple[int, int, int]
     ref_tokens: int
 
@@ -277,7 +287,7 @@ class DiTIntermediates:
 jax.tree_util.register_dataclass(
     DiTIntermediates,
     data_fields=["tokens", "e", "e0", "context", "rope_cos", "rope_sin",
-                 "kv_lens", "mpm_tokens"],
+                 "kv_lens", "mpm_tokens", "mpm_mask"],
     meta_fields=["grid", "ref_tokens"])
 
 
@@ -349,7 +359,7 @@ class WanDiT(nn.Module):
                 block_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
-                in_axes=(nn.broadcast,) * 6,
+                in_axes=(nn.broadcast,) * 7,
                 length=cfg.num_layers,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )(cfg, name="blocks")
@@ -404,8 +414,11 @@ class WanDiT(nn.Module):
         rope_cos, rope_sin = rope_angles_3d(rope_tables, grid,
                                             seq_len=seq_len)
 
-        # MPM token grid (4D variant).
-        mpm_tokens = None
+        # MPM token grid (4D variant). Note: the reference aligns feature
+        # position 0 with token position 0 even when ref tokens are
+        # prepended, and zero-pads the FiLM scale/shift beyond the feature
+        # length (:772-776) -- reproduced via mpm_mask.
+        mpm_tokens, mpm_mask = None, None
         if cfg.motion_guidance and mpm_features is not None:
             fd = cfg.motion_feature_dim
             side = int(math.isqrt(mpm_features.shape[1]))
@@ -421,12 +434,13 @@ class WanDiT(nn.Module):
                                          (b, h, w, fd)).astype(cfg.dtype)
             feats = jnp.broadcast_to(feats[:, None], (b, f, h, w, fd))
             feats = feats.reshape(b, f * h * w, fd)
-            if ref_tokens:
-                feats = jnp.pad(feats, ((0, 0), (ref_tokens, 0), (0, 0)))
-            if seq_len > feats.shape[1]:
+            feat_len = feats.shape[1]
+            if seq_len > feat_len:
                 feats = jnp.pad(
-                    feats, ((0, 0), (0, seq_len - feats.shape[1]), (0, 0)))
+                    feats, ((0, 0), (0, seq_len - feat_len), (0, 0)))
             mpm_tokens = feats
+            mpm_mask = (jnp.arange(seq_len) < feat_len).astype(
+                jnp.float32)[:, None]
 
         # timestep embedding (fp32, :1160-1171)
         t = jnp.asarray(t)
@@ -458,24 +472,25 @@ class WanDiT(nn.Module):
         return DiTIntermediates(
             tokens=tokens, e=e, e0=e0, context=ctx, rope_cos=rope_cos,
             rope_sin=rope_sin, kv_lens=kv_lens, mpm_tokens=mpm_tokens,
-            grid=grid, ref_tokens=ref_tokens)
+            mpm_mask=mpm_mask, grid=grid, ref_tokens=ref_tokens)
 
     def backbone(self, it: DiTIntermediates) -> jnp.ndarray:
         """The block stack; returns updated tokens (the teacache 'residual'
         is tokens_out - tokens_in, computed by the pipeline)."""
         cfg = self.cfg
-        mpm = it.mpm_tokens
+        mpm, mask = it.mpm_tokens, it.mpm_mask
         if mpm is None and cfg.motion_guidance:
             mpm = jnp.zeros(it.tokens.shape[:2] + (cfg.motion_feature_dim,),
                             cfg.dtype)
+            mask = jnp.zeros((it.tokens.shape[1], 1), jnp.float32)
         if cfg.scan_blocks:
             x, _ = self.block_stack(it.tokens, it.e0, it.context, it.rope_cos,
-                                    it.rope_sin, it.kv_lens, mpm)
+                                    it.rope_sin, it.kv_lens, mpm, mask)
         else:
             x = it.tokens
             for blk in self.block_list:
                 x = blk(x, it.e0, it.context, it.rope_cos, it.rope_sin,
-                        it.kv_lens, mpm)
+                        it.kv_lens, mpm, mask)
         return x
 
     def finalize(self, tokens, it: DiTIntermediates) -> jnp.ndarray:

@@ -183,6 +183,65 @@ def _install_scheduler_stubs():
     sys.modules["diffusers"].schedulers = schedulers
 
 
+def load_reference_dit(which: str = "wan_transformer4d"):
+    """Import the reference DiT with package context (it uses relative
+    imports of ``..dist`` / ``..utils`` — the dist module is absent from the
+    snapshot, SURVEY.md §2.4 — so both are stubbed)."""
+    import logging as pylogging
+
+    import torch
+
+    _install_scheduler_stubs()
+    utils_mod = sys.modules["diffusers.utils"]
+    utils_mod.is_torch_version = lambda op, version: True
+
+    logging_stub = types.ModuleType("diffusers.utils.logging")
+    logging_stub.get_logger = pylogging.getLogger
+    utils_mod.logging = logging_stub
+    sys.modules["diffusers.utils.logging"] = logging_stub
+
+    modeling_utils = sys.modules["diffusers.models.modeling_utils"]
+
+    class ModelMixin(torch.nn.Module):
+        _supports_gradient_checkpointing = False
+
+    modeling_utils.ModelMixin = ModelMixin
+
+    pkg_name = "refMoRe4D"
+    if f"{pkg_name}.models.{which}" in sys.modules:
+        return sys.modules[f"{pkg_name}.models.{which}"]
+
+    pkg = types.ModuleType(pkg_name)
+    pkg.__path__ = []
+
+    dist = types.ModuleType(f"{pkg_name}.dist")
+    for n in ("get_sequence_parallel_rank", "get_sequence_parallel_world_size",
+              "get_sp_group", "usp_attn_forward",
+              "xFuserLongContextAttention"):
+        setattr(dist, n, None)
+
+    utils_pkg = types.ModuleType(f"{pkg_name}.utils")
+
+    def cfg_skip():
+        def deco(fn):
+            return fn
+        return deco
+
+    utils_pkg.cfg_skip = cfg_skip
+
+    models_pkg = types.ModuleType(f"{pkg_name}.models")
+    models_pkg.__path__ = [f"{REFERENCE_ROOT}/MoRe4D/models"]
+
+    sys.modules[pkg_name] = pkg
+    sys.modules[f"{pkg_name}.dist"] = dist
+    sys.modules[f"{pkg_name}.utils"] = utils_pkg
+    sys.modules[f"{pkg_name}.models"] = models_pkg
+
+    import importlib
+
+    return importlib.import_module(f"{pkg_name}.models.{which}")
+
+
 def load_reference_module(relpath: str, name: str):
     """Import a single reference file by path (no package context)."""
     _install_diffusers_stub()
