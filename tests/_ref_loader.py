@@ -207,6 +207,47 @@ def load_reference_dit(which: str = "wan_transformer4d"):
 
     modeling_utils.ModelMixin = ModelMixin
 
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+
+        class _Identity:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, x):
+                return x
+
+        class _Compose:
+            def __init__(self, transforms):
+                self.transforms = transforms
+
+            def __call__(self, x):
+                for t in self.transforms:
+                    x = t(x)
+                return x
+
+        class _Normalize:
+            def __init__(self, mean, std):
+                self.mean, self.std = mean, std
+
+            def __call__(self, x):
+                mean = torch.tensor(self.mean).view(-1, 1, 1)
+                std = torch.tensor(self.std).view(-1, 1, 1)
+                return (x - mean) / std
+
+        class _InterpolationMode:
+            BICUBIC = "bicubic"
+
+        tvt.Compose = _Compose
+        tvt.Resize = _Identity
+        tvt.ToTensor = _Identity
+        tvt.Normalize = _Normalize
+        tvt.InterpolationMode = _InterpolationMode
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+
     pkg_name = "refMoRe4D"
     if f"{pkg_name}.models.{which}" in sys.modules:
         return sys.modules[f"{pkg_name}.models.{which}"]
