@@ -207,6 +207,43 @@ def load_reference_dit(which: str = "wan_transformer4d"):
 
     modeling_utils.ModelMixin = ModelMixin
 
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        timm_models = types.ModuleType("timm.models")
+        timm_layers = types.ModuleType("timm.models.layers")
+
+        def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+            with torch.no_grad():
+                tensor.normal_(mean, std).clamp_(a * std, b * std)
+            return tensor
+
+        class DropPath(torch.nn.Module):
+            def __init__(self, drop_prob=0.0):
+                super().__init__()
+
+            def forward(self, x):
+                return x
+
+        timm_layers.trunc_normal_ = trunc_normal_
+        timm_layers.DropPath = DropPath
+        timm_models.layers = timm_layers
+        timm.models = timm_models
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = timm_models
+        sys.modules["timm.models.layers"] = timm_layers
+
+    if "hydra" not in sys.modules:
+        hydra = types.ModuleType("hydra")
+        hydra_utils = types.ModuleType("hydra.utils")
+
+        def instantiate(target, *a, **k):
+            return target
+
+        hydra_utils.instantiate = instantiate
+        hydra.utils = hydra_utils
+        sys.modules["hydra"] = hydra
+        sys.modules["hydra.utils"] = hydra_utils
+
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tvt = types.ModuleType("torchvision.transforms")
