@@ -98,7 +98,8 @@ class SelfAttention(nn.Module):
         q = apply_rope(q, rope_cos, rope_sin)
         k = apply_rope(k, rope_cos, rope_sin)
         o = attention(q, k, v, kv_lens=kv_lens,
-                      backend=cfg.attention_backend)
+                      backend=cfg.attention_backend,
+                      sequence_parallel=True)
         o = o.reshape(b, l, cfg.dim)
         return dense("o")(o)
 

@@ -1,9 +1,13 @@
-"""Attention dispatch: Pallas flash kernel on TPU, XLA fallback elsewhere.
+"""Attention dispatch: Pallas flash kernel on TPU, XLA fallback elsewhere,
+optional Ulysses sequence parallelism.
 
 Mirrors the reference's backend-switching `attention` wrapper
-(wan_transformer4d.py:66-236) which picks FA3/FA2/SDPA; here the choice is
-pallas vs. plain XLA, controlled by config or the VIDEOX_ATTENTION_TYPE-style
-env override MORE4D_ATTENTION.
+(wan_transformer4d.py:66-236) which picks FA3/FA2/SDPA via
+VIDEOX_ATTENTION_TYPE; here the choice is pallas vs. plain XLA, controlled by
+config or the env override MORE4D_ATTENTION. When a mesh with a non-trivial
+'seq' axis is installed (more4d_tpu.parallel.set_mesh), self-attention calls
+route through the Ulysses all-to-all wrapper — the TPU equivalent of the
+reference's usp_attn_forward monkey-patch (:1038-1044).
 """
 
 from __future__ import annotations
@@ -17,17 +21,29 @@ import jax.numpy as jnp
 from ..kernels.flash_attention import flash_attention, xla_attention
 
 
-def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-              kv_lens: Optional[jnp.ndarray] = None,
-              backend: str = "auto") -> jnp.ndarray:
-    """Scaled dot-product attention. q/k/v: [B, L, H, D] (BLHD)."""
-    backend = os.environ.get("MORE4D_ATTENTION", backend)
+def _base(backend: str):
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
-        return flash_attention(q, k, v, kv_lens=kv_lens)
+        return lambda q, k, v, lens: flash_attention(q, k, v, kv_lens=lens)
     if backend == "pallas_interpret":
-        return flash_attention(q, k, v, kv_lens=kv_lens, interpret=True)
+        return lambda q, k, v, lens: flash_attention(q, k, v, kv_lens=lens,
+                                                     interpret=True)
     if backend == "xla":
-        return xla_attention(q, k, v, kv_lens=kv_lens)
+        return lambda q, k, v, lens: xla_attention(q, k, v, kv_lens=lens)
     raise ValueError(f"unknown attention backend: {backend}")
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              kv_lens: Optional[jnp.ndarray] = None,
+              backend: str = "auto",
+              sequence_parallel: bool = False) -> jnp.ndarray:
+    """Scaled dot-product attention. q/k/v: [B, L, H, D] (BLHD)."""
+    backend = os.environ.get("MORE4D_ATTENTION", backend)
+    fn = _base(backend)
+    if sequence_parallel:
+        from ..parallel.ulysses import seq_parallel_size, ulysses_attention
+
+        if seq_parallel_size() > 1:
+            return ulysses_attention(fn, q, k, v, kv_lens)
+    return fn(q, k, v, kv_lens)

@@ -1,7 +1,9 @@
 from .mesh import (AXIS_DATA, AXIS_FSDP, AXIS_SEQ, MeshConfig, create_mesh,
-                   fsdp_sharding, data_sharding, replicated)
+                   fsdp_sharding, data_sharding, replicated, shard_params)
+from .ulysses import set_mesh, get_mesh, seq_parallel_size, ulysses_attention
 
 __all__ = [
     "AXIS_DATA", "AXIS_FSDP", "AXIS_SEQ", "MeshConfig", "create_mesh",
-    "fsdp_sharding", "data_sharding", "replicated",
+    "fsdp_sharding", "data_sharding", "replicated", "shard_params",
+    "set_mesh", "get_mesh", "seq_parallel_size", "ulysses_attention",
 ]

@@ -1,0 +1,102 @@
+"""Sharding tests on the virtual 8-device CPU mesh: Ulysses attention
+equivalence, FSDP param sharding, sequence-parallel DiT forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from more4d_tpu.config import dit_tiny
+from more4d_tpu.kernels.flash_attention import xla_attention
+from more4d_tpu.models import WanDiT
+from more4d_tpu.parallel import (AXIS_SEQ, MeshConfig, create_mesh,
+                                 fsdp_sharding, set_mesh, shard_params,
+                                 ulysses_attention)
+
+
+@pytest.fixture(autouse=True)
+def _clear_mesh():
+    yield
+    set_mesh(None)
+
+
+def test_ulysses_matches_dense_attention():
+    mesh = create_mesh(MeshConfig(data=1, fsdp=2, seq=4))
+    rng = np.random.RandomState(0)
+    b, l, h, d = 2, 32, 4, 16
+    q = jnp.asarray(rng.randn(b, l, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, h, d), jnp.float32)
+
+    ref = xla_attention(q, k, v)
+    base = lambda q, k, v, lens: xla_attention(q, k, v, kv_lens=lens)  # noqa
+
+    with mesh:
+        out = jax.jit(lambda q, k, v: ulysses_attention(base, q, k, v,
+                                                        mesh=mesh))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_ulysses_with_kv_lens():
+    mesh = create_mesh(MeshConfig(data=1, fsdp=2, seq=4))
+    rng = np.random.RandomState(1)
+    b, l, h, d = 1, 16, 4, 8
+    q = jnp.asarray(rng.randn(b, l, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, h, d), jnp.float32)
+    lens = jnp.asarray([10], jnp.int32)
+
+    ref = xla_attention(q, k, v, kv_lens=lens)
+    base = lambda q, k, v, m: xla_attention(q, k, v, kv_lens=m)  # noqa
+
+    with mesh:
+        out = jax.jit(lambda q, k, v: ulysses_attention(
+            base, q, k, v, kv_lens=lens, mesh=mesh))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fsdp_sharding_rules():
+    mesh = create_mesh(MeshConfig(data=2, fsdp=4, seq=1))
+    params = {
+        "big": jnp.zeros((256, 1024)),     # shard (1024 % 4 == 0)
+        "tiny": jnp.zeros((8,)),           # replicated (below min_size)
+        "odd": jnp.zeros((333, 777)),      # no divisible dim -> replicated
+    }
+    sh = fsdp_sharding(params, mesh, min_size=1024)
+    assert sh["big"].spec == P(None, "fsdp")
+    assert sh["tiny"].spec == P()
+    assert sh["odd"].spec == P()
+    placed = shard_params(params, mesh, min_size=1024)
+    assert placed["big"].sharding.spec == P(None, "fsdp")
+
+
+def test_sequence_parallel_dit_forward_matches_single():
+    """Full DiT forward with a seq=2 mesh == single-device forward."""
+    cfg = dit_tiny(dtype=jnp.float32, num_heads=2, attention_backend="xla")
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 4, 8, 8, 16), jnp.float32)
+    y = jnp.asarray(rng.randn(1, 4, 8, 8, cfg.in_dim - 16), jnp.float32)
+    t = jnp.asarray([400.0], jnp.float32)
+    ctx = jnp.asarray(rng.randn(1, 7, cfg.text_dim), jnp.float32)
+    clip = jnp.asarray(rng.randn(1, cfg.clip_tokens, cfg.clip_dim),
+                       jnp.float32)
+    model = WanDiT(cfg)
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx, y=y, clip_fea=clip)
+    leaves, td = jax.tree_util.tree_flatten(params)
+    params = jax.tree_util.tree_unflatten(
+        td, [jnp.asarray(np.random.RandomState(3).normal(0, 0.05, l.shape),
+                         l.dtype) for l in leaves])
+
+    out_single = model.apply(params, x, t, ctx, y=y, clip_fea=clip)
+
+    mesh = create_mesh(MeshConfig(data=1, fsdp=4, seq=2))
+    set_mesh(mesh)
+    params_sh = shard_params(params, mesh, min_size=256)
+    with mesh:
+        out_sp = jax.jit(lambda p, x, t, c, y, cl: model.apply(
+            p, x, t, c, y=y, clip_fea=cl))(params_sh, x, t, ctx, y, clip)
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_single),
+                               rtol=2e-4, atol=2e-4)
