@@ -32,10 +32,10 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm1", **kw)(x)
+        h = nn.GroupNorm(num_groups=min(32, self.channels), epsilon=1e-6, name="norm1", **kw)(x)
         h = nn.silu(h)
         h = nn.Conv(self.channels, (3, 3), padding=1, name="conv1", **kw)(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm2", **kw)(h)
+        h = nn.GroupNorm(num_groups=min(32, self.channels), epsilon=1e-6, name="norm2", **kw)(h)
         h = nn.silu(h)
         h = nn.Conv(self.channels, (3, 3), padding=1, name="conv2", **kw)(h)
         return x + h
@@ -56,8 +56,8 @@ class VAEEncoderAdaptor(nn.Module):
         h = nn.Conv(self.ch, (3, 3), padding=1, name="conv_in", **kw)(xf)
         for i in range(self.num_res_blocks):
             h = ResnetBlock2D(self.ch, name=f"block_{i}", **kw)(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out",
-                         **kw)(h)
+        h = nn.GroupNorm(num_groups=min(32, self.ch), epsilon=1e-6,
+                         name="norm_out", **kw)(h)
         h = nn.silu(h)
         h = nn.Conv(self.in_channels, (3, 3), padding=1,
                     kernel_init=nn.initializers.zeros,
@@ -83,8 +83,8 @@ class VAEDecoderAdaptor(nn.Module):
         h = nn.Conv(self.ch, (3, 3), padding=1, name="conv_in", **kw)(zf)
         for i in range(self.num_res_blocks + 1):
             h = ResnetBlock2D(self.ch, name=f"block_{i}", **kw)(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out",
-                         **kw)(h)
+        h = nn.GroupNorm(num_groups=min(32, self.ch), epsilon=1e-6,
+                         name="norm_out", **kw)(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv_out",
                     **kw)(h)

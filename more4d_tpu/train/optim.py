@@ -1,0 +1,134 @@
+"""Optimizer + training-robustness utilities.
+
+Re-implements the reference's training hardening (SURVEY.md §5):
+- two-tier learning-rate AdamW (train_wan.py:1091-1142),
+- EMA of trainable params (:956-965),
+- dynamic gradient-norm clamping: the max norm decays linearly and shrinks up
+  to 10x when the observed norm is anomalous (:1991-2001),
+- thresholded MSE loss (custom_mse_loss, :1952-1962) and the temporal-
+  difference motion_sub_loss (:1968-1972),
+- windowed statistical loss-outlier skip (train_vae.py:35-106).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def make_adamw(lr: float, low_lr_names: Optional[str] = None,
+               low_lr_ratio: float = 0.1, betas=(0.9, 0.999),
+               weight_decay: float = 3e-2, eps: float = 1e-10,
+               params=None):
+    """AdamW with an optional low-LR parameter group selected by path regex
+    (the reference trains e.g. newly-initialised modules at full LR and the
+    backbone at a reduced LR; train_wan.py:1091-1142)."""
+    if low_lr_names is None:
+        return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
+                           weight_decay=weight_decay)
+    assert params is not None
+    pattern = re.compile(low_lr_names)
+
+    def label(tree):
+        def walk(t, prefix=""):
+            if isinstance(t, dict):
+                return {k: walk(v, f"{prefix}/{k}" if prefix else k)
+                        for k, v in t.items()}
+            return "low" if pattern.search(prefix) else "high"
+        return walk(tree)
+
+    return optax.multi_transform(
+        {"high": optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
+                             weight_decay=weight_decay),
+         "low": optax.adamw(lr * low_lr_ratio, b1=betas[0], b2=betas[1],
+                            eps=eps, weight_decay=weight_decay)},
+        label(params))
+
+
+def ema_update(ema_params, params, decay: float = 0.9999):
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params, params)
+
+
+def global_grad_norm(grads) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(grads)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in leaves))
+
+
+def linear_decay(initial: float, final: float, total_steps: int, step):
+    frac = jnp.clip(step / jnp.maximum(total_steps, 1), 0.0, 1.0)
+    return initial + (final - initial) * frac
+
+
+def dynamic_clip_norm(grads, step, max_grad_norm: float = 0.05,
+                      initial_ratio: float = 5.0,
+                      decay_steps: int = 1000):
+    """Clip by a linearly-decaying max norm; if the observed norm exceeds it
+    by >5x after the decay window, shrink the limit up to 10x
+    (train_wan.py:1991-2001). Returns (clipped_grads, norm, used_max)."""
+    norm = global_grad_norm(grads)
+    max_norm = linear_decay(max_grad_norm * initial_ratio, max_grad_norm,
+                            decay_steps, step)
+    ratio = norm / jnp.maximum(max_norm, 1e-12)
+    anomalous = jnp.logical_and(ratio > 5.0, step > decay_steps)
+    used_max = jnp.where(anomalous, max_norm / jnp.minimum(ratio, 10.0),
+                         max_norm)
+    scale = jnp.minimum(1.0, used_max / jnp.maximum(norm, 1e-12))
+    clipped = jax.tree_util.tree_map(
+        lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype), grads)
+    return clipped, norm, used_max
+
+
+def custom_mse_loss(pred, target, weighting=None, threshold: float = 50.0):
+    """MSE with |err| > threshold masked out (train_wan.py:1952-1962)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    diff = pred - target
+    loss = jnp.square(diff) * (jnp.abs(diff) <= threshold)
+    if weighting is not None:
+        loss = loss * weighting.astype(jnp.float32)
+    return loss.mean()
+
+
+def motion_sub_loss(pred, target):
+    """Temporal-difference MSE on [B, T, ...] (train_wan.py:1968-1972)."""
+    dp = pred[:, 1:].astype(jnp.float32) - pred[:, :-1].astype(jnp.float32)
+    dt = target[:, 1:].astype(jnp.float32) \
+        - target[:, :-1].astype(jnp.float32)
+    return jnp.mean(jnp.square(dp - dt))
+
+
+class LossOutlierTracker:
+    """Host-side windowed mean+k*sigma outlier detector
+    (train_vae.py:35-106): skip a batch whose loss is non-finite or exceeds
+    mean + 6*std of the recent window."""
+
+    def __init__(self, window: int = 100, sigma: float = 6.0,
+                 warmup: int = 20):
+        self.window = window
+        self.sigma = sigma
+        self.warmup = warmup
+        self.values = []
+
+    def should_skip(self, loss: float) -> bool:
+        import math
+
+        if not math.isfinite(loss):
+            return True
+        if len(self.values) >= self.warmup:
+            import numpy as np
+
+            mean = float(np.mean(self.values))
+            std = float(np.std(self.values))
+            if loss > mean + self.sigma * std:
+                return True
+        self.values.append(loss)
+        if len(self.values) > self.window:
+            self.values.pop(0)
+        return False

@@ -1,0 +1,142 @@
+"""4D-STraG trainer: full fine-tune of the 4D DiT on trajectory latents.
+
+Re-implements the training semantics of scripts/4D_STraG_training/
+train_wan.py (SURVEY.md §3.1) as one jitted step:
+
+- flow-matching noise: zt = (1 - sigma) x + sigma eps, target = eps - x
+  (:1922-1928), sigma indexed from the shifted training schedule by the
+  (optionally rank-stratified) timestep sampler;
+- thresholded MSE + optional motion_sub temporal-difference loss
+  (:1952-1972);
+- abnormal-loss skip: loss > 0.25 after step 50 drops the update (:1978-1985)
+  — realised as lax.cond keeping params/opt_state;
+- dynamic grad-norm clamp (:1991-2001) and EMA (:956).
+
+The VAE encode of flow pixels into latents and the 2% control dropout
+(:1756-1798) are data-preparation steps (see prepare_batch)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion.flow_match import shift_sigmas
+from ..models.wan_dit import WanDiT
+from .optim import (custom_mse_loss, dynamic_clip_norm, ema_update,
+                    motion_sub_loss)
+from .sampler import StratifiedTimestepSampler
+
+
+def training_schedule(num_train_timesteps: int = 1000, shift: float = 5.0):
+    """The FlowMatchEuler training sigmas (descending) with shift applied
+    (diffusers default init; config scheduler_kwargs shift: 5.0)."""
+    s = np.linspace(1.0, 1.0 / num_train_timesteps, num_train_timesteps)
+    s = shift_sigmas(s, shift)
+    return s.astype(np.float32)  # sigmas[i]; timesteps = sigmas * 1000
+
+
+@dataclasses.dataclass(frozen=True)
+class StraagTrainConfig:
+    learning_rate: float = 2e-5
+    max_grad_norm: float = 0.05
+    abnormal_loss_threshold: float = 0.25
+    abnormal_loss_start_step: int = 50
+    grad_clip_decay_steps: int = 1000
+    motion_sub_loss: bool = False
+    motion_sub_loss_ratio: float = 0.25
+    mse_threshold: float = 50.0
+    shift: float = 5.0
+    num_train_timesteps: int = 1000
+    uniform_sampling: bool = True
+    world_size: int = 1
+    ema_decay: float = 0.9999
+    use_ema: bool = True
+
+
+def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,
+                    cfg: StraagTrainConfig,
+                    trainable_filter=None):
+    """Returns step(params, opt_state, ema, batch, rng, global_step).
+
+    batch: dict with 'latents' [B,T',h,w,16], 'y' [B,T',h,w,48],
+    'context' [B,L,text_dim], optional 'clip_fea', 'mpm_features'.
+    trainable_filter(path)->bool restricts which params get gradients
+    (name-matched trainable_modules, train_wan.py:949-954); others are
+    frozen via stop_gradient masking."""
+    sigmas = jnp.asarray(training_schedule(cfg.num_train_timesteps,
+                                           cfg.shift))
+    sampler = StratifiedTimestepSampler(
+        cfg.num_train_timesteps, uniform_sampling=cfg.uniform_sampling,
+        world_size=cfg.world_size)
+
+    mask_tree = None
+
+    def _trainable_mask(params):
+        def walk(t, prefix=""):
+            if isinstance(t, dict):
+                return {k: walk(v, f"{prefix}/{k}" if prefix else k)
+                        for k, v in t.items()}
+            return bool(trainable_filter(prefix)) if trainable_filter \
+                else True
+        return walk(params)
+
+    def step(params, opt_state, ema, batch, rng, global_step, rank=0):
+        nonlocal mask_tree
+        if trainable_filter and mask_tree is None:
+            mask_tree = _trainable_mask(params)
+
+        rng_t, rng_n = jax.random.split(rng)
+        x = batch["latents"].astype(jnp.float32)
+        b = x.shape[0]
+        idx = sampler(rng_t, b, rank)
+        sigma = sigmas[idx].reshape(b, 1, 1, 1, 1)
+        t = (sigmas[idx] * 1000.0).astype(jnp.float32)
+        noise = jax.random.normal(rng_n, x.shape, jnp.float32)
+        zt = (1.0 - sigma) * x + sigma * noise
+        target = noise - x
+
+        def loss_fn(p):
+            if trainable_filter:
+                p = jax.tree_util.tree_map(
+                    lambda v, m: v if m else jax.lax.stop_gradient(v),
+                    p, mask_tree)
+            pred = dit.apply(p, zt, t, batch["context"], y=batch["y"],
+                             clip_fea=batch.get("clip_fea"),
+                             mpm_features=batch.get("mpm_features"))
+            loss = custom_mse_loss(pred, target,
+                                   threshold=cfg.mse_threshold)
+            if cfg.motion_sub_loss:
+                sub = motion_sub_loss(pred, target)
+                loss = loss * (1 - cfg.motion_sub_loss_ratio) \
+                    + sub * cfg.motion_sub_loss_ratio
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads, gnorm, used_max = dynamic_clip_norm(
+            grads, global_step, cfg.max_grad_norm,
+            decay_steps=cfg.grad_clip_decay_steps)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        skip = jnp.logical_and(global_step > cfg.abnormal_loss_start_step,
+                               loss > cfg.abnormal_loss_threshold)
+        skip = jnp.logical_or(skip, jnp.logical_not(jnp.isfinite(loss)))
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(skip, old, new), new_params, params)
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(skip, old, new)
+            if hasattr(new, "shape") else new, new_opt_state, opt_state)
+
+        if ema is not None:
+            new_ema = ema_update(ema, params, cfg.ema_decay)
+            ema = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(skip, old, new), new_ema, ema)
+        return params, opt_state, ema, {"loss": loss, "grad_norm": gnorm,
+                                        "skipped": skip}
+
+    return step

@@ -1,0 +1,192 @@
+"""Training subsystem: LoRA math, stratified sampler, loss guards, and one
+step of each trainer (tiny configs, loss decreases / stays finite)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from more4d_tpu.config import VAEConfig, dit_tiny
+from more4d_tpu.models import WanDiT
+from more4d_tpu.models.adaptors import VAEDecoderAdaptor, VAEEncoderAdaptor
+from more4d_tpu.models.wan_vae import WanVAE
+from more4d_tpu.train import (StratifiedTimestepSampler, apply_lora,
+                              create_lora, custom_mse_loss,
+                              dynamic_clip_norm, ema_update,
+                              LossOutlierTracker, make_adamw)
+from more4d_tpu.train.train_straag import (StraagTrainConfig, make_train_step,
+                                           training_schedule)
+from more4d_tpu.train.train_vae import (VAEAdaptorTrainConfig,
+                                        make_vae_adaptor_train_step)
+from more4d_tpu.train.train_vism import VismTrainConfig, make_vism_train_step
+
+
+def _dit_and_params(in_dim=24, motion=False, seed=0):
+    cfg = dit_tiny(dtype=jnp.float32, in_dim=in_dim, out_dim=4, dim=32,
+                   ffn_dim=64, num_heads=2, num_layers=2, text_dim=16,
+                   clip_dim=16, text_len=8, motion_guidance=motion)
+    model = WanDiT(cfg)
+    rng = np.random.RandomState(seed)
+    x = jnp.zeros((1, 3, 8, 8, 4), jnp.float32)
+    y = jnp.zeros((1, 3, 8, 8, in_dim - 4), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    ctx = jnp.zeros((1, 8, 16), jnp.float32)
+    params = model.init(jax.random.PRNGKey(seed), x, t, ctx, y=y)
+    leaves, td = jax.tree_util.tree_flatten(params)
+    params = jax.tree_util.tree_unflatten(
+        td, [jnp.asarray(rng.normal(0, 0.04, l.shape), l.dtype)
+             for l in leaves])
+    return model, params, cfg
+
+
+def test_lora_zero_init_is_identity():
+    model, params, cfg = _dit_and_params()
+    lora = create_lora(params, jax.random.PRNGKey(0), rank=2)
+    assert len(lora["factors"]) > 0
+    merged = apply_lora(params, lora)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(merged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_lora_merge_math():
+    params = {"blocks": {"block": {"self_attn": {"q": {
+        "kernel": jnp.ones((4, 4))}}}}}
+    lora = create_lora(params, jax.random.PRNGKey(1), rank=2, alpha=2.0)
+    key = "blocks/block/self_attn/q/kernel"
+    lora["factors"][key]["up"] = jnp.ones((2, 4))
+    merged = apply_lora(params, lora, multiplier=0.5)
+    expected = np.ones((4, 4)) + 0.5 * (2.0 / 2) * np.asarray(
+        lora["factors"][key]["down"] @ jnp.ones((2, 4)))
+    np.testing.assert_allclose(
+        np.asarray(merged["blocks"]["block"]["self_attn"]["q"]["kernel"]),
+        expected, rtol=1e-5)
+
+
+def test_stratified_sampler_intervals():
+    s = StratifiedTimestepSampler(1000, uniform_sampling=True, world_size=4)
+    assert s.group_num == 4 and s.sigma_interval == 250
+    for rank in range(4):
+        idx = np.asarray(s(jax.random.PRNGKey(rank), 64, rank=rank))
+        assert idx.min() >= rank * 250 and idx.max() < (rank + 1) * 250
+
+
+def test_dynamic_clip_shrinks_on_anomaly():
+    g = {"w": jnp.ones((10,)) * 100.0}
+    clipped, norm, used = dynamic_clip_norm(g, step=2000,
+                                            max_grad_norm=0.05,
+                                            decay_steps=1000)
+    n = float(jnp.sqrt(jnp.sum(jnp.square(clipped["w"]))))
+    assert n <= 0.05 + 1e-5
+    assert float(used) < 0.05  # shrunk below the nominal limit
+
+
+def test_custom_mse_threshold_masks_outliers():
+    pred = jnp.asarray([0.0, 100.0])
+    tgt = jnp.asarray([1.0, 0.0])
+    loss = custom_mse_loss(pred, tgt, threshold=50.0)
+    assert float(loss) == pytest.approx(0.5)  # only the first element counts
+
+
+def test_loss_outlier_tracker():
+    t = LossOutlierTracker(window=50, sigma=6.0, warmup=5)
+    for _ in range(20):
+        assert not t.should_skip(1.0 + np.random.rand() * 0.01)
+    assert t.should_skip(100.0)
+    assert t.should_skip(float("nan"))
+
+
+def test_training_schedule_shift():
+    s = training_schedule(1000, 5.0)
+    assert s.shape == (1000,)
+    assert s[0] == pytest.approx(1.0)
+    assert s[-1] == pytest.approx(5.0 * 0.001 / (1 + 4 * 0.001), rel=1e-4)
+
+
+def test_straag_step_runs_and_skips_abnormal():
+    model, params, cfg = _dit_and_params(in_dim=24)
+    tcfg = StraagTrainConfig(abnormal_loss_threshold=1e9)  # never skip
+    tx = make_adamw(1e-3)
+    opt_state = tx.init(params)
+    ema = jax.tree_util.tree_map(lambda x: x, params)
+    step = make_train_step(model, tx, tcfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "latents": jnp.asarray(rng.randn(2, 3, 8, 8, 4), jnp.float32),
+        "y": jnp.asarray(rng.randn(2, 3, 8, 8, 20), jnp.float32),
+        "context": jnp.asarray(rng.randn(2, 8, 16), jnp.float32),
+    }
+    p1, o1, e1, m1 = step(params, opt_state, ema, batch,
+                          jax.random.PRNGKey(0), 10)
+    assert np.isfinite(float(m1["loss"]))
+    assert not bool(m1["skipped"])
+    # params changed
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               params, p1)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+    # abnormal loss -> update skipped (threshold 0 => any loss skips)
+    tcfg2 = StraagTrainConfig(abnormal_loss_threshold=0.0,
+                              abnormal_loss_start_step=0)
+    step2 = make_train_step(model, tx, tcfg2)
+    p2, o2, e2, m2 = step2(params, opt_state, ema, batch,
+                           jax.random.PRNGKey(0), 100)
+    assert bool(m2["skipped"])
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vism_lora_step_only_touches_lora():
+    model, params, cfg = _dit_and_params(in_dim=12)
+    lora = create_lora(params, jax.random.PRNGKey(2), rank=2)
+    tcfg = VismTrainConfig()
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(lora["factors"])
+    step = make_vism_train_step(model, tx, tcfg)
+    rng = np.random.RandomState(1)
+    batch = {
+        "latents": jnp.asarray(rng.randn(1, 3, 8, 8, 4), jnp.float32),
+        "y": jnp.asarray(rng.randn(1, 3, 8, 8, 8), jnp.float32),
+        "context": jnp.asarray(rng.randn(1, 8, 16), jnp.float32),
+    }
+    lora2, _, metrics = step(lora, opt_state, params, batch,
+                             jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    changed = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(lora["factors"]),
+                        jax.tree_util.tree_leaves(lora2["factors"])))
+    assert changed
+
+
+def test_vae_adaptor_step_decreases_loss():
+    vcfg = VAEConfig(dim=4, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
+                     temporal_downsample=(True,))
+    vae = WanVAE(vcfg)
+    rng = np.random.RandomState(2)
+    flow = jnp.asarray(rng.randn(1, 5, 16, 16, 3) * 0.1, jnp.float32)
+    vae_params = vae.init(jax.random.PRNGKey(0), flow)
+
+    enc = VAEEncoderAdaptor(ch=8)
+    dec = VAEDecoderAdaptor(ch=8)
+    enc_p = enc.init(jax.random.PRNGKey(1), flow)
+    dec_p = dec.init(jax.random.PRNGKey(2), flow)
+    trainable = {"enc": enc_p, "dec": dec_p,
+                 "vae_decoder": {"decoder": vae_params["params"]["decoder"],
+                                 "conv2": vae_params["params"]["conv2"]}}
+    tcfg = VAEAdaptorTrainConfig(learning_rate=1e-3)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(trainable)
+    step = jax.jit(make_vae_adaptor_train_step(enc, dec, vae, tx, tcfg))
+
+    batch = {"flow": flow}
+    losses = []
+    tr = trainable
+    for i in range(4):
+        tr, opt_state, m = step(tr, opt_state, vae_params, batch,
+                                jax.random.PRNGKey(10 + i))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
