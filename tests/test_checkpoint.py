@@ -1,0 +1,38 @@
+"""Checkpoint save/restore roundtrip incl. data-order resume state."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from more4d_tpu.train.checkpoint import CheckpointManager
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones((4,))}
+    opt = {"mu": jnp.zeros((3, 4))}
+    extra = {"global_step": 7, "sampler": {"epoch": 1, "pos_start": 42,
+                                           "seed": 0}}
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mgr.save(7, params, opt_state=opt, extra=extra)
+    assert mgr.latest_step() == 7
+
+    like_p = {"w": jnp.zeros((3, 4)), "b": jnp.zeros((4,))}
+    like_o = {"mu": jnp.zeros((3, 4))}
+    out = mgr.restore(params_like=like_p, opt_state_like=like_o,
+                      with_extra=True)
+    np.testing.assert_array_equal(np.asarray(out["params"]["w"]),
+                                  np.arange(12.0).reshape(3, 4))
+    assert out["extra"]["sampler"]["pos_start"] == 42
+    mgr.close()
+
+
+def test_checkpoint_rotation(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    for s in (1, 2, 3):
+        mgr.save(s, {"x": jnp.full((2,), float(s))})
+    assert mgr.latest_step() == 3
+    # max_to_keep=2 -> step 1 rotated away (checkpoints_total_limit analog,
+    # train_wan.py:2028-2052)
+    steps = mgr._mgr.all_steps()
+    assert 1 not in steps and set(steps) == {2, 3}
+    mgr.close()
