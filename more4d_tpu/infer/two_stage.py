@@ -1,0 +1,205 @@
+"""Full two-stage inference: single image -> 4D novel-view videos.
+
+Re-implements scripts/inference/infer.py:1092-1142 (SURVEY.md §3.3):
+
+STAGE 1 (4D-STraG): monocular depth -> back-projected first-frame point
+cloud; the control pipeline samples a dense 3D trajectory video conditioned
+on text, the repeated first frame, a grey CLIP image (the flow-model trick,
+utils/utils.py:82-175), and the depth image; the decoder adaptor maps the
+decoded pseudo-RGB back to scene flow; inverse normalization recovers
+absolute per-frame point clouds (:848-871).
+
+RENDER: the per-frame point cloud is rendered along the 11-type camera
+trajectory sweep (:906-924) with the splat or z-buffer renderer; holes
+become inpainting masks.
+
+STAGE 2 (4D-ViSM): the Wan-Fun-InP pipeline (with the ViSM LoRA merged)
+fills disocclusions per (sample x trajectory) (:961-989).
+
+Depth comes from any callable image -> depth map; the reference's UniDepthV2
+is one provider (a JAX port is tracked separately); precomputed depth maps
+work directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import (back_project_coords, get_intrinsic_matrix,
+                        inverse_flow_norm)
+from ..geometry.cameras import TRAJECTORY_TYPES, generate_trajectory
+from ..geometry.gaussians import gs_render_video
+from ..geometry.render import zbuffer_render_video
+from ..models.adaptors import VAEDecoderAdaptor
+from ..pipelines import WanControlPipeline, WanInpaintPipeline
+
+
+@dataclasses.dataclass
+class TwoStageModels:
+    """Bundles models + params. Text/CLIP/MPM encoders run through the
+    provided callables so tests can inject tiny stand-ins."""
+
+    control_pipeline: WanControlPipeline
+    inpaint_pipeline: WanInpaintPipeline
+    dit4d_params: Any
+    dit_inp_params: Any
+    vae_params: Any
+    decoder_adaptor: VAEDecoderAdaptor
+    decoder_adaptor_params: Any
+    encode_text: Callable[[Sequence[str]], jnp.ndarray]
+    encode_image_clip: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+    extract_mpm: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+    estimate_depth: Optional[Callable[[np.ndarray], np.ndarray]] = None
+
+
+def grey_clip_image(batch: int, size: int = 512) -> jnp.ndarray:
+    """The flow model is conditioned on a *grey* clip image
+    (get_image_to_flow_video_latent, utils/utils.py:82-175)."""
+    return jnp.zeros((batch, size, size, 3), jnp.float32)
+
+
+def depth_to_image(depth: jnp.ndarray, max_depth: float = 20.0):
+    """Depth [H, W] -> 3ch conditioning image in [-1, 1] (infer.py:823-827)."""
+    d = jnp.clip(depth, 0.0, max_depth) / max_depth * 2.0 - 1.0
+    return jnp.repeat(d[None, None, ..., None], 3, axis=-1)
+
+
+def stage1_generate(m: TwoStageModels, image01: np.ndarray, prompt: str,
+                    negative_prompt: str = "", depth: Optional[np.ndarray] = None,
+                    rng: Optional[jax.Array] = None, normalize_track_z: bool = False
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """image01: [H, W, 3] in [0, 1]. Returns (coords [T, H*W, 3] absolute
+    per-frame point clouds, colors [H*W, 3] in [0, 1])."""
+    pipe = m.control_pipeline
+    h, w = pipe.config.height, pipe.config.width
+    t_frames = pipe.config.num_frames
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    if depth is None:
+        assert m.estimate_depth is not None, "no depth provider"
+        depth = m.estimate_depth(image01)
+    depth = jnp.asarray(depth, jnp.float32)
+
+    # lift: depth -> per-pixel 3D coordinates (infer.py:818-820)
+    first_frame_coords = back_project_coords(depth, h, w)  # [H, W, 3]
+
+    image = jnp.asarray(image01, jnp.float32) * 2.0 - 1.0
+    image = jax.image.resize(image, (h, w, 3), "bilinear")
+    control_video = jnp.broadcast_to(image[None, None],
+                                     (1, t_frames, h, w, 3))
+    depth_img = depth_to_image(depth)
+    depth_img = jax.image.resize(depth_img, (1, 1, h, w, 3), "bilinear")
+
+    prompt_embeds = m.encode_text([prompt])
+    neg_embeds = m.encode_text([negative_prompt])
+    clip_fea = None
+    if m.encode_image_clip is not None:
+        # grey clip image for the flow model (utils.py:139-141)
+        clip_fea = m.encode_image_clip(grey_clip_image(1)) * 0.0
+    mpm = None
+    if m.extract_mpm is not None:
+        mpm = m.extract_mpm(jnp.asarray(image01, jnp.float32)[None])
+
+    flow_video = pipe(m.dit4d_params, m.vae_params, rng, prompt_embeds,
+                      neg_embeds=neg_embeds, control_video=control_video,
+                      start_image=image[None, None], depth_image=depth_img,
+                      clip_fea=clip_fea, mpm_features=mpm,
+                      output_type="no_normalize")          # [1,T,H,W,3]
+
+    # decoded pseudo-RGB -> scene flow (infer.py:848-849)
+    recon_flow = m.decoder_adaptor.apply(m.decoder_adaptor_params,
+                                         flow_video)
+
+    if normalize_track_z:
+        coords_video = recon_flow + first_frame_coords[None, None]
+    else:
+        coords_video, _ = inverse_flow_norm(recon_flow,
+                                            first_frame_coords[None])
+
+    # frame 0 is the exact lifted cloud (infer.py:870-871)
+    coords_video = jnp.concatenate(
+        [first_frame_coords[None, None], coords_video[:, 1:]], axis=1)
+
+    coords = np.asarray(coords_video[0]).reshape(t_frames, -1, 3)
+    colors = np.asarray(image * 0.5 + 0.5).reshape(-1, 3)
+    return coords, colors
+
+
+def render_trajectories(coords: np.ndarray, colors: np.ndarray,
+                        height: int, width: int,
+                        trajectory_types=None, use_gs: bool = True
+                        ) -> List[Dict[str, np.ndarray]]:
+    """Render the camera sweep for per-frame point clouds.
+
+    coords: [T, N, 3]; colors: [N, 3] in [0, 1]. Returns a list of
+    {'name', 'frames' [T,H,W,3], 'mask' [T,H,W]} per trajectory."""
+    trajectory_types = trajectory_types or TRAJECTORY_TYPES
+    t = coords.shape[0]
+    center = coords.reshape(-1, 3).mean(axis=0)
+    intr = get_intrinsic_matrix(height, width)
+    out = []
+    for i, (name, kw) in enumerate(trajectory_types):
+        exts = generate_trajectory(name, center, t, **kw)
+        if use_gs:
+            frames, alpha = gs_render_video(
+                jnp.asarray(coords), jnp.asarray(colors),
+                jnp.asarray(exts), intr, height, width)
+            mask = np.asarray(alpha) < 0.5
+        else:
+            frames, hole = zbuffer_render_video(
+                jnp.asarray(coords), jnp.asarray(colors),
+                jnp.asarray(exts), intr, height, width)
+            mask = np.asarray(hole)
+        out.append({"name": f"{name}_{i}", "frames": np.asarray(frames),
+                    "mask": mask})
+    return out
+
+
+def stage2_inpaint(m: TwoStageModels, render: Dict[str, np.ndarray],
+                   prompt: str, negative_prompt: str = "",
+                   rng: Optional[jax.Array] = None) -> np.ndarray:
+    """Fill disocclusions of one rendered trajectory. Returns [T,H,W,3]
+    in [0, 1]."""
+    rng = rng if rng is not None else jax.random.PRNGKey(1)
+    video = jnp.asarray(render["frames"], jnp.float32) * 2.0 - 1.0
+    mask = jnp.asarray(render["mask"], jnp.float32)[..., None]
+    prompt_embeds = m.encode_text([prompt])
+    neg_embeds = m.encode_text([negative_prompt])
+    clip_fea = None
+    if m.encode_image_clip is not None:
+        clip_fea = m.encode_image_clip(
+            jnp.asarray(render["frames"][:1]) * 2.0 - 1.0)
+    out = m.inpaint_pipeline(m.dit_inp_params, m.vae_params, rng,
+                             prompt_embeds, neg_embeds=neg_embeds,
+                             video=video[None], mask=mask[None],
+                             clip_fea=clip_fea)
+    return np.asarray(out[0])
+
+
+def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
+                  negative_prompt: str = "",
+                  depth: Optional[np.ndarray] = None,
+                  trajectory_types=None, use_gs: bool = True,
+                  rng: Optional[jax.Array] = None):
+    """Single image -> list of inpainted novel-view videos (one per camera
+    trajectory), plus the stage-1 point clouds."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    r1, r2 = jax.random.split(rng)
+    coords, colors = stage1_generate(m, image01, prompt, negative_prompt,
+                                     depth=depth, rng=r1)
+    pipe = m.inpaint_pipeline
+    renders = render_trajectories(coords, colors, pipe.config.height,
+                                  pipe.config.width, trajectory_types,
+                                  use_gs)
+    videos = []
+    for i, render in enumerate(renders):
+        out = stage2_inpaint(m, render, prompt, negative_prompt,
+                             rng=jax.random.fold_in(r2, i))
+        videos.append({"name": render["name"], "video": out})
+    return {"coords": coords, "colors": colors, "renders": renders,
+            "videos": videos}

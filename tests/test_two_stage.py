@@ -1,0 +1,94 @@
+"""Full two-stage integration test with tiny models: image -> depth ->
+trajectories -> renders -> inpainted novel-view videos."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from more4d_tpu.config import PipelineConfig, VAEConfig, dit_tiny
+from more4d_tpu.infer import TwoStageModels, run_two_stage
+from more4d_tpu.models import WanDiT
+from more4d_tpu.models.adaptors import VAEDecoderAdaptor
+from more4d_tpu.models.wan_vae import WanVAE
+from more4d_tpu.pipelines import WanControlPipeline, WanInpaintPipeline
+
+H = W = 32
+T = 5
+
+
+def _randomized(params, seed):
+    leaves, td = jax.tree_util.tree_flatten(params)
+    rng = np.random.RandomState(seed)
+    return jax.tree_util.tree_unflatten(
+        td, [jnp.asarray(rng.normal(0, 0.03, l.shape), l.dtype)
+             for l in leaves])
+
+
+def test_two_stage_end_to_end():
+    vcfg = VAEConfig(dim=4, z_dim=4, dim_mult=(1, 1, 2, 2),
+                     num_res_blocks=1,
+                     temporal_downsample=(False, True, True))
+    vae = WanVAE(vcfg)
+    vae_params = vae.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, T, H, W, 3)))
+
+    text_dim = 16
+    dcfg4 = dit_tiny(dtype=jnp.float32, in_dim=16, out_dim=4, dim=32,
+                     ffn_dim=64, num_heads=2, num_layers=2,
+                     text_dim=text_dim, clip_dim=16, text_len=8,
+                     motion_guidance=False, model_type="t2v")
+    dcfg_inp = dit_tiny(dtype=jnp.float32, in_dim=12, out_dim=4, dim=32,
+                        ffn_dim=64, num_heads=2, num_layers=2,
+                        text_dim=text_dim, clip_dim=16, text_len=8,
+                        model_type="t2v")
+    dit4 = WanDiT(dcfg4)
+    dit_inp = WanDiT(dcfg_inp)
+
+    pcfg = PipelineConfig(num_inference_steps=2, guidance_scale=5.0,
+                          num_frames=T, height=H, width=W)
+    ctrl = WanControlPipeline(dit4, vae, pcfg)
+    inp = WanInpaintPipeline(dit_inp, vae, pcfg)
+
+    lat = ctrl.prepare_latents(jax.random.PRNGKey(1), 1)
+    b, tl, lh, lw, z = lat.shape
+    p4 = dit4.init(jax.random.PRNGKey(2), lat,
+                   jnp.zeros((1,)), jnp.zeros((1, 8, text_dim)),
+                   y=jnp.zeros((1, tl, lh, lw, 12)))
+    p_inp = dit_inp.init(jax.random.PRNGKey(3), lat,
+                         jnp.zeros((1,)), jnp.zeros((1, 8, text_dim)),
+                         y=jnp.zeros((1, tl, lh, lw, 8)))
+    p4, p_inp = _randomized(p4, 4), _randomized(p_inp, 5)
+
+    dec = VAEDecoderAdaptor(ch=8)
+    dec_p = dec.init(jax.random.PRNGKey(6), jnp.zeros((1, T, H, W, 3)))
+
+    rngs = np.random.RandomState(7)
+
+    def encode_text(prompts):
+        return jnp.asarray(rngs.randn(len(prompts), 8, text_dim),
+                           jnp.float32)
+
+    models = TwoStageModels(
+        control_pipeline=ctrl, inpaint_pipeline=inp,
+        dit4d_params=p4, dit_inp_params=p_inp, vae_params=vae_params,
+        decoder_adaptor=dec, decoder_adaptor_params=dec_p,
+        encode_text=encode_text,
+        estimate_depth=lambda img: np.full(img.shape[:2], 2.0, np.float32))
+
+    image = rngs.rand(H, W, 3).astype(np.float32)
+    out = run_two_stage(models, image, "a cat",
+                        trajectory_types=[("static", {}),
+                                          ("circle_rotating", {})],
+                        use_gs=True)
+
+    assert out["coords"].shape == (T, H * W, 3)
+    # frame 0 is the exact back-projected cloud: depth 2 everywhere
+    np.testing.assert_allclose(out["coords"][0, :, 2], 2.0, rtol=1e-4)
+    assert len(out["videos"]) == 2
+    for v in out["videos"]:
+        assert v["video"].shape == (T, H, W, 3)
+        assert np.isfinite(v["video"]).all()
+        assert v["video"].min() >= 0 and v["video"].max() <= 1
+    # static trajectory from the identity camera must cover most pixels
+    static_mask = out["renders"][0]["mask"]
+    assert static_mask[0].mean() < 0.5
