@@ -1,0 +1,78 @@
+"""Kohya-style LoRA safetensors -> more4d_tpu LoRA factor tree.
+
+The reference saves ViSM LoRA weights with kohya naming
+(``lora_unet_<module path with _>_lora_down.weight`` [r, in] /
+``lora_up.weight`` [out, r] / ``alpha``; MoRe4D/utils/lora_utils.py:22-112)
+and merges them at weight 0.55 at inference (infer.py:1031). This converter
+produces the factor tree consumed by more4d_tpu.train.lora.apply_lora,
+stacking per-block factors for the scanned block layout.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+from ..config import DiTConfig
+
+
+def convert_kohya_lora(sd, cfg: DiTConfig, prefix: str = "lora_unet_"):
+    """sd: torch-key -> tensor. Returns {'rank', 'alpha', 'factors'}."""
+    sd = {k: (v.detach().cpu().float().numpy() if hasattr(v, "detach")
+              else np.asarray(v)) for k, v in sd.items()}
+
+    pat = re.compile(
+        rf"^{re.escape(prefix)}blocks_(\d+)_(.+)\.lora_down\.weight$")
+    per_layer: Dict[str, Dict[int, dict]] = {}
+    rank, alpha = None, 1.0
+    for k, down in sd.items():
+        m = pat.match(k)
+        if not m:
+            continue
+        layer = int(m.group(1))
+        module = m.group(2)           # e.g. self_attn_q / ffn_0
+        base = k[:-len(".lora_down.weight")]
+        up = sd[base + ".lora_up.weight"]
+        if base + ".alpha" in sd:
+            alpha = float(sd[base + ".alpha"])
+        rank = down.shape[0]
+        # torch Linear lora_down [r, in] -> flax down [in, r]; up [out, r]
+        # -> [r, out]
+        per_layer.setdefault(module, {})[layer] = {
+            "down": down.T, "up": up.T}
+
+    def flax_path(module: str) -> str:
+        # self_attn_q -> self_attn/q ; ffn_0 -> ffn/fc1 ; ffn_2 -> ffn/fc2
+        module = module.replace("ffn_0", "ffn/fc1").replace("ffn_2",
+                                                            "ffn/fc2")
+        for attn in ("self_attn", "cross_attn"):
+            module = module.replace(attn + "_", attn + "/")
+        if cfg.scan_blocks:
+            return f"params/blocks/block/{module}/kernel"
+        return f"params/blocks_{{i}}/{module}/kernel"
+
+    factors = {}
+    for module, layers in per_layer.items():
+        if cfg.scan_blocks:
+            idxs = sorted(layers)
+            down = np.stack([layers[i]["down"] for i in idxs])
+            up = np.stack([layers[i]["up"] for i in idxs])
+            factors[flax_path(module)] = {"down": down, "up": up}
+        else:
+            for i, f in layers.items():
+                factors[flax_path(module).format(i=i)] = dict(f)
+    return {"rank": rank or 4, "alpha": alpha, "factors": factors}
+
+
+def load_vism_lora(path: str, cfg: DiTConfig):
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_kohya_lora(sd, cfg)

@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Two-stage inference CLI: single image -> 4D novel-view videos.
+
+The TPU-native equivalent of scripts/inference/infer.py in the reference:
+loads the Wan2.1-Fun checkpoints through the torch->flax converters, builds
+the jitted pipelines, and runs depth lift -> 4D-STraG -> trajectory render
+sweep -> 4D-ViSM inpainting.
+
+Example:
+  python scripts/infer.py \
+    --image cat.png --prompt "a cat turns its head" \
+    --control_ckpt /ckpts/Wan2.1-Fun-V1.1-14B-Control-4D \
+    --inp_ckpt /ckpts/Wan2.1-Fun-V1.1-14B-InP \
+    --vae_ckpt /ckpts/Wan2.1_VAE.pth \
+    --t5_ckpt /ckpts/models_t5_umt5-xxl-enc-bf16.pth \
+    --clip_ckpt /ckpts/models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth \
+    --decoder_adaptor /ckpts/decoder_prompt.bin \
+    --vism_lora /ckpts/vism_lora.safetensors \
+    --output_dir out/
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--image", required=True)
+    p.add_argument("--prompt", required=True)
+    p.add_argument("--negative_prompt", default="")
+    p.add_argument("--control_ckpt", required=True)
+    p.add_argument("--inp_ckpt", required=True)
+    p.add_argument("--vae_ckpt", required=True)
+    p.add_argument("--t5_ckpt", required=True)
+    p.add_argument("--tokenizer", default="google/umt5-xxl")
+    p.add_argument("--clip_ckpt", default=None)
+    p.add_argument("--decoder_adaptor", required=True)
+    p.add_argument("--vism_lora", default=None)
+    p.add_argument("--lora_weight", type=float, default=0.55)
+    p.add_argument("--output_dir", default="out")
+    p.add_argument("--height", type=int, default=368)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--num_frames", type=int, default=49)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=6.0)
+    p.add_argument("--shift", type=float, default=3.0)
+    p.add_argument("--sampler", default="flow",
+                   choices=["flow", "flow_unipc", "flow_dpm++"])
+    p.add_argument("--teacache_threshold", type=float, default=0.0)
+    p.add_argument("--cfg_skip_ratio", type=float, default=0.0)
+    p.add_argument("--riflex_k", type=int, default=None)
+    p.add_argument("--depth_provider", default="unidepth",
+                   choices=["unidepth", "precomputed", "constant"])
+    p.add_argument("--depth_dir", default=None)
+    p.add_argument("--use_gs", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=43)
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard the 14B params over all local devices")
+    p.add_argument("--model_size", default="14b", choices=["14b", "1.3b"])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from more4d_tpu.config import (PipelineConfig, T5Config, VAEConfig,
+                                   CLIPVisionConfig, dit_14b, dit_1_3b)
+    from more4d_tpu.convert.dit_torch import load_wan_dit
+    from more4d_tpu.convert.vae_torch import load_wan_vae
+    from more4d_tpu.infer import TwoStageModels, run_two_stage
+    from more4d_tpu.models import WanDiT
+    from more4d_tpu.models.adaptors import (VAEDecoderAdaptor,
+                                            convert_adaptor_state_dict)
+    from more4d_tpu.models.clip import (ClipVisionTower,
+                                        convert_clip_vision_state_dict,
+                                        encode_image)
+    from more4d_tpu.models.depth import get_depth_provider
+    from more4d_tpu.models.omnimae import (OmniMAEViT,
+                                           convert_omnimae_state_dict,
+                                           extract_mpm_features)
+    from more4d_tpu.models.t5 import WanT5Encoder, convert_t5_state_dict
+    from more4d_tpu.models.wan_vae import WanVAE
+    from more4d_tpu.pipelines import (TeaCacheConfig, TEACACHE_COEFFICIENTS,
+                                      WanControlPipeline, WanInpaintPipeline)
+    from more4d_tpu.train.lora import apply_lora
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    # ---- models
+    make_dit = dit_14b if args.model_size == "14b" else dit_1_3b
+    cfg4 = make_dit(motion_guidance=True, in_dim=64, model_type="i2v")
+    cfg_inp = make_dit(motion_guidance=False, in_dim=36, model_type="i2v")
+    dit4, dit_inp = WanDiT(cfg4), WanDiT(cfg_inp)
+    vae = WanVAE(VAEConfig())
+
+    print("loading checkpoints ...")
+    p4 = load_wan_dit(args.control_ckpt, cfg4)
+    p_inp = load_wan_dit(args.inp_ckpt, cfg_inp)
+    if args.vism_lora:
+        # reference merges the ViSM LoRA at weight 0.55 (infer.py:1031)
+        from more4d_tpu.convert.lora_torch import load_vism_lora
+
+        lora = load_vism_lora(args.vism_lora, cfg_inp)
+        p_inp = apply_lora(p_inp, lora, multiplier=args.lora_weight)
+    vae_params = load_wan_vae(args.vae_ckpt)
+
+    import torch
+
+    t5_cfg = T5Config()
+    t5 = WanT5Encoder(t5_cfg)
+    t5_params = convert_t5_state_dict(
+        torch.load(args.t5_ckpt, map_location="cpu", weights_only=True),
+        t5_cfg)
+
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+
+    def encode_text(prompts):
+        toks = tokenizer(prompts, padding="max_length", truncation=True,
+                         max_length=t5_cfg.text_len, return_tensors="np")
+        return t5.apply(t5_params, jnp.asarray(toks["input_ids"]),
+                        jnp.asarray(toks["attention_mask"]))
+
+    encode_clip = None
+    if args.clip_ckpt:
+        clip_cfg = CLIPVisionConfig()
+        clip = ClipVisionTower(clip_cfg)
+        clip_params = convert_clip_vision_state_dict(
+            torch.load(args.clip_ckpt, map_location="cpu",
+                       weights_only=True), clip_cfg)
+        encode_clip = lambda imgs: encode_image(clip, clip_params, imgs)  # noqa
+
+    dec = VAEDecoderAdaptor()
+    dec_params = convert_adaptor_state_dict(
+        torch.load(args.decoder_adaptor, map_location="cpu",
+                   weights_only=True), decoder=True)
+
+    extract_mpm = None
+    # OmniMAE weights ship inside the 4D checkpoint's extractor in the
+    # reference; when present as a separate file, wire them here.
+
+    if args.fsdp:
+        from more4d_tpu.parallel import create_mesh, shard_params
+        mesh = create_mesh()
+        p4 = shard_params(p4, mesh)
+        p_inp = shard_params(p_inp, mesh)
+
+    pcfg = PipelineConfig(
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale, shift=args.shift,
+        scheduler=args.sampler, num_frames=args.num_frames,
+        height=args.height, width=args.width,
+        teacache_threshold=args.teacache_threshold,
+        cfg_skip_ratio=args.cfg_skip_ratio, riflex_k=args.riflex_k)
+    teacache = None
+    if args.teacache_threshold > 0:
+        teacache = TeaCacheConfig(
+            coefficients=tuple(TEACACHE_COEFFICIENTS["wan2.1-fun-14b"]),
+            rel_l1_thresh=args.teacache_threshold, num_skip_start_steps=5)
+    ctrl = WanControlPipeline(dit4, vae, pcfg, teacache=teacache)
+    inp = WanInpaintPipeline(dit_inp, vae, pcfg, teacache=teacache)
+
+    depth_kw = {"directory": args.depth_dir} \
+        if args.depth_provider == "precomputed" else {}
+    depth = get_depth_provider(args.depth_provider, **depth_kw)
+
+    models = TwoStageModels(
+        control_pipeline=ctrl, inpaint_pipeline=inp, dit4d_params=p4,
+        dit_inp_params=p_inp, vae_params=vae_params, decoder_adaptor=dec,
+        decoder_adaptor_params=dec_params, encode_text=encode_text,
+        encode_image_clip=encode_clip, extract_mpm=extract_mpm,
+        estimate_depth=depth)
+
+    image = np.asarray(Image.open(args.image).convert("RGB"),
+                       np.float32) / 255.0
+    out = run_two_stage(models, image, args.prompt, args.negative_prompt,
+                        use_gs=args.use_gs,
+                        rng=jax.random.PRNGKey(args.seed))
+
+    import imageio
+
+    name = os.path.splitext(os.path.basename(args.image))[0]
+    np.save(os.path.join(args.output_dir, f"{name}_coords.npy"),
+            out["coords"])
+    for v in out["videos"]:
+        path = os.path.join(args.output_dir,
+                            f"{name}_{v['name']}.mp4")
+        imageio.mimwrite(path, (v["video"] * 255).astype(np.uint8), fps=8)
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
