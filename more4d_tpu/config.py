@@ -43,6 +43,8 @@ class DiTConfig:
     use_cls_token: bool = False
     ref_conv: bool = False                      # prepend ref-image token frame
     ref_conv_dim: int = 16
+    control_adapter: bool = False               # Plücker camera adapter
+    control_adapter_dim: int = 24               # 6 rays x 4 folded frames
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False                         # per-block rematerialisation

@@ -333,6 +333,15 @@ class WanDiT(nn.Module):
                                     param_dtype=cfg.param_dtype)
             self.img_ln_out = nn.LayerNorm(dtype=jnp.float32,
                                            param_dtype=cfg.param_dtype)
+        if cfg.control_adapter:
+            # SimpleAdapter: per-frame conv patchifier for Plücker camera
+            # maps (undefined in the snapshot, SURVEY.md §2.4; upstream
+            # VideoX-Fun defines this Conv2d patchify-and-add)
+            self.control_adapter_conv = nn.Conv(
+                cfg.dim, kernel_size=cfg.patch_size[1:],
+                strides=cfg.patch_size[1:], padding="VALID",
+                kernel_init=xavier_uniform(), dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype)
         if cfg.ref_conv:
             self.ref_conv_layer = nn.Conv(
                 cfg.dim, kernel_size=cfg.patch_size[1:],
@@ -372,8 +381,8 @@ class WanDiT(nn.Module):
 
     # ------------------------------------------------------------------ #
 
-    def embed(self, x, t, context, *, y=None, clip_fea=None, full_ref=None,
-              mpm_features=None, mpm_cls=None, seq_len=None,
+    def embed(self, x, t, context, *, y=None, y_camera=None, clip_fea=None,
+              full_ref=None, mpm_features=None, mpm_cls=None, seq_len=None,
               rope_tables: Optional[RopeTables] = None) -> DiTIntermediates:
         """Everything before the block stack (wan_transformer4d.py:1061-1198).
 
@@ -389,6 +398,15 @@ class WanDiT(nn.Module):
         b, tt, hh, ww, _ = x.shape
 
         x = self.patch_embedding(x.astype(cfg.dtype))
+        if cfg.control_adapter and y_camera is not None:
+            # y_camera: [B, T', H, W, 24] folded Plücker maps; patchified
+            # per-frame and added to the video tokens (wan_transformer4d.py
+            # :1075-1077)
+            bb, tt2, hh2, ww2, cc2 = y_camera.shape
+            cam = self.control_adapter_conv(
+                y_camera.reshape(bb * tt2, hh2, ww2, cc2).astype(cfg.dtype))
+            cam = cam.reshape(bb, tt2, cam.shape[1], cam.shape[2], cfg.dim)
+            x = x + cam
         f, h, w = x.shape[1], x.shape[2], x.shape[3]
         grid = (f, h, w)
         tokens = x.reshape(b, f * h * w, cfg.dim)
@@ -510,12 +528,12 @@ class WanDiT(nn.Module):
         x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
         return x.reshape(b, f * pt, h * ph, w * pw, c)
 
-    def __call__(self, x, t, context, *, y=None, clip_fea=None,
-                 full_ref=None, mpm_features=None, mpm_cls=None,
-                 seq_len=None, rope_tables=None):
-        it = self.embed(x, t, context, y=y, clip_fea=clip_fea,
-                        full_ref=full_ref, mpm_features=mpm_features,
-                        mpm_cls=mpm_cls, seq_len=seq_len,
-                        rope_tables=rope_tables)
+    def __call__(self, x, t, context, *, y=None, y_camera=None,
+                 clip_fea=None, full_ref=None, mpm_features=None,
+                 mpm_cls=None, seq_len=None, rope_tables=None):
+        it = self.embed(x, t, context, y=y, y_camera=y_camera,
+                        clip_fea=clip_fea, full_ref=full_ref,
+                        mpm_features=mpm_features, mpm_cls=mpm_cls,
+                        seq_len=seq_len, rope_tables=rope_tables)
         tokens = self.backbone(it)
         return self.finalize(tokens, it)
