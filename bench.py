@@ -33,17 +33,19 @@ def _timed_chain(fn, params, x, t, ctx, y, clip, mpm, guidance=6.0):
     mpm2 = jnp.concatenate([mpm, mpm], 0)
     t2 = jnp.concatenate([t, t], 0)
 
-    def body(i, xc):
-        x2 = jnp.concatenate([xc, xc], 0)
-        out = fn(params, x2, t2, ctx2, y2, clip2, mpm2)
-        b = xc.shape[0]
-        pred = out[:b] + guidance * (out[:b] - out[b:])
-        return xc - 0.02 * pred.astype(xc.dtype)
+    def chain(params, x, ctx2, y2, clip2, mpm2, t2, n):
+        def body(i, xc):
+            x2 = jnp.concatenate([xc, xc], 0)
+            out = fn(params, x2, t2, ctx2, y2, clip2, mpm2)
+            b = xc.shape[0]
+            pred = out[:b] + guidance * (out[:b] - out[b:])
+            return xc - 0.02 * pred.astype(xc.dtype)
 
-    def chain(params, x, n):
         return jax.lax.fori_loop(0, n, body, x)
 
-    return jax.jit(chain, static_argnums=(2,))
+    jitted = jax.jit(chain, static_argnums=(7,))
+    return lambda params, x, n: jitted(params, x, ctx2, y2, clip2, mpm2,
+                                       t2, n)
 
 
 def main():
