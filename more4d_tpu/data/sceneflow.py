@@ -46,11 +46,15 @@ def load_sceneflow_pickle(path: str, height: int, width: int
     return coords, colors
 
 
-def depth_to_image(depth: np.ndarray, max_depth: float = 20.0) -> np.ndarray:
-    """Depth map [H, W] -> 3ch image in [-1, 1] (infer.py:823-827 clamps and
-    rescales the metric depth into the VAE's input range)."""
-    d = np.clip(depth, 0.0, max_depth) / max_depth
-    d = d * 2.0 - 1.0
+def depth_to_image(depth: np.ndarray) -> np.ndarray:
+    """Depth map [H, W] -> 3ch image in [-1, 1] via per-image min-max
+    normalization (train_wan.py:1375-1385 / infer.py:823-827): clamp to
+    [0, 1e4], replace non-finite/near-zero with 1, then
+    2*(d-min)/(max-min+1e-8)-1."""
+    d = np.clip(depth, 0.0, 10000.0)
+    d[~np.isfinite(d) | (d < 1e-5)] = 1.0
+    dmin, dmax = d.min(), d.max()
+    d = 2.0 * (d - dmin) / (dmax - dmin + 1e-8) - 1.0
     return np.repeat(d[..., None], 3, axis=-1).astype(np.float32)
 
 

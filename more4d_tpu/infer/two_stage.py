@@ -58,14 +58,22 @@ class TwoStageModels:
 
 
 def grey_clip_image(batch: int, size: int = 512) -> jnp.ndarray:
-    """The flow model is conditioned on a *grey* clip image
-    (get_image_to_flow_video_latent, utils/utils.py:82-175)."""
-    return jnp.zeros((batch, size, size, 3), jnp.float32)
+    """The flow model is conditioned on a *grey* (127,127,127) clip image
+    (get_image_to_flow_video_latent, utils/utils.py:158-165; infer.py:813).
+    Value in [-1, 1] space: 2*(127/255) - 1."""
+    grey = 2.0 * (127.0 / 255.0) - 1.0
+    return jnp.full((batch, size, size, 3), grey, jnp.float32)
 
 
-def depth_to_image(depth: jnp.ndarray, max_depth: float = 20.0):
-    """Depth [H, W] -> 3ch conditioning image in [-1, 1] (infer.py:823-827)."""
-    d = jnp.clip(depth, 0.0, max_depth) / max_depth * 2.0 - 1.0
+def depth_to_image(depth: jnp.ndarray):
+    """Depth [H, W] -> 3ch conditioning image in [-1, 1] via per-image
+    min-max normalization (infer.py:823-827): clamp to [0, 1e4], replace
+    non-finite/near-zero values with 1, then 2*(d-min)/(max-min+1e-8)-1."""
+    d = jnp.clip(depth, 0.0, 10000.0)
+    bad = ~jnp.isfinite(d) | (d < 1e-5)
+    d = jnp.where(bad, 1.0, d)
+    dmin, dmax = jnp.min(d), jnp.max(d)
+    d = 2.0 * (d - dmin) / (dmax - dmin + 1e-8) - 1.0
     return jnp.repeat(d[None, None, ..., None], 3, axis=-1)
 
 
@@ -99,8 +107,9 @@ def stage1_generate(m: TwoStageModels, image01: np.ndarray, prompt: str,
     neg_embeds = m.encode_text([negative_prompt])
     clip_fea = None
     if m.encode_image_clip is not None:
-        # grey clip image for the flow model (utils.py:139-141)
-        clip_fea = m.encode_image_clip(grey_clip_image(1)) * 0.0
+        # Encode an actual mid-grey image through CLIP and use those
+        # features — NOT a zeroed embedding (utils.py:158-165, infer.py:813).
+        clip_fea = m.encode_image_clip(grey_clip_image(1, size=max(h, w)))
     mpm = None
     if m.extract_mpm is not None:
         mpm = m.extract_mpm(jnp.asarray(image01, jnp.float32)[None])

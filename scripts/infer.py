@@ -40,6 +40,7 @@ def parse_args():
     p.add_argument("--t5_ckpt", required=True)
     p.add_argument("--tokenizer", default="google/umt5-xxl")
     p.add_argument("--clip_ckpt", default=None)
+    p.add_argument("--omnimae_ckpt", default=None)
     p.add_argument("--decoder_adaptor", required=True)
     p.add_argument("--vism_lora", default=None)
     p.add_argument("--lora_weight", type=float, default=0.55)
@@ -72,22 +73,15 @@ def main():
     import jax.numpy as jnp
     from PIL import Image
 
-    from more4d_tpu.config import (PipelineConfig, T5Config, VAEConfig,
-                                   CLIPVisionConfig, dit_14b, dit_1_3b)
+    from more4d_tpu.config import (PipelineConfig, VAEConfig, dit_14b,
+                                   dit_1_3b)
     from more4d_tpu.convert.dit_torch import load_wan_dit
     from more4d_tpu.convert.vae_torch import load_wan_vae
     from more4d_tpu.infer import TwoStageModels, run_two_stage
     from more4d_tpu.models import WanDiT
     from more4d_tpu.models.adaptors import (VAEDecoderAdaptor,
                                             convert_adaptor_state_dict)
-    from more4d_tpu.models.clip import (ClipVisionTower,
-                                        convert_clip_vision_state_dict,
-                                        encode_image)
     from more4d_tpu.models.depth import get_depth_provider
-    from more4d_tpu.models.omnimae import (OmniMAEViT,
-                                           convert_omnimae_state_dict,
-                                           extract_mpm_features)
-    from more4d_tpu.models.t5 import WanT5Encoder, convert_t5_state_dict
     from more4d_tpu.models.wan_vae import WanVAE
     from more4d_tpu.pipelines import (TeaCacheConfig, TEACACHE_COEFFICIENTS,
                                       WanControlPipeline, WanInpaintPipeline)
@@ -115,39 +109,16 @@ def main():
 
     import torch
 
-    t5_cfg = T5Config()
-    t5 = WanT5Encoder(t5_cfg)
-    t5_params = convert_t5_state_dict(
-        torch.load(args.t5_ckpt, map_location="cpu", weights_only=True),
-        t5_cfg)
+    from more4d_tpu.infer.encoders import build_encoders
 
-    from transformers import AutoTokenizer
-
-    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
-
-    def encode_text(prompts):
-        toks = tokenizer(prompts, padding="max_length", truncation=True,
-                         max_length=t5_cfg.text_len, return_tensors="np")
-        return t5.apply(t5_params, jnp.asarray(toks["input_ids"]),
-                        jnp.asarray(toks["attention_mask"]))
-
-    encode_clip = None
-    if args.clip_ckpt:
-        clip_cfg = CLIPVisionConfig()
-        clip = ClipVisionTower(clip_cfg)
-        clip_params = convert_clip_vision_state_dict(
-            torch.load(args.clip_ckpt, map_location="cpu",
-                       weights_only=True), clip_cfg)
-        encode_clip = lambda imgs: encode_image(clip, clip_params, imgs)  # noqa
+    encoders = build_encoders(
+        t5_ckpt=args.t5_ckpt, tokenizer_path=args.tokenizer,
+        clip_ckpt=args.clip_ckpt, omnimae_ckpt=args.omnimae_ckpt)
 
     dec = VAEDecoderAdaptor()
     dec_params = convert_adaptor_state_dict(
         torch.load(args.decoder_adaptor, map_location="cpu",
                    weights_only=True), decoder=True)
-
-    extract_mpm = None
-    # OmniMAE weights ship inside the 4D checkpoint's extractor in the
-    # reference; when present as a separate file, wire them here.
 
     if args.fsdp:
         from more4d_tpu.parallel import create_mesh, shard_params
@@ -177,9 +148,10 @@ def main():
     models = TwoStageModels(
         control_pipeline=ctrl, inpaint_pipeline=inp, dit4d_params=p4,
         dit_inp_params=p_inp, vae_params=vae_params, decoder_adaptor=dec,
-        decoder_adaptor_params=dec_params, encode_text=encode_text,
-        encode_image_clip=encode_clip, extract_mpm=extract_mpm,
-        estimate_depth=depth)
+        decoder_adaptor_params=dec_params,
+        encode_text=encoders.encode_text,
+        encode_image_clip=encoders.encode_clip,
+        extract_mpm=encoders.extract_mpm, estimate_depth=depth)
 
     image = np.asarray(Image.open(args.image).convert("RGB"),
                        np.float32) / 255.0
@@ -187,15 +159,18 @@ def main():
                         use_gs=args.use_gs,
                         rng=jax.random.PRNGKey(args.seed))
 
-    import imageio
+    from more4d_tpu.utils import save_pointcloud_txt, save_videos_grid
 
     name = os.path.splitext(os.path.basename(args.image))[0]
     np.save(os.path.join(args.output_dir, f"{name}_coords.npy"),
             out["coords"])
+    # per-frame point clouds as txt (infer.py:870-871 save_point_cloud_to_txt)
+    save_pointcloud_txt(
+        os.path.join(args.output_dir, f"{name}_frame0.txt"),
+        out["coords"][0], out["colors"])
     for v in out["videos"]:
-        path = os.path.join(args.output_dir,
-                            f"{name}_{v['name']}.mp4")
-        imageio.mimwrite(path, (v["video"] * 255).astype(np.uint8), fps=8)
+        path = os.path.join(args.output_dir, f"{name}_{v['name']}.mp4")
+        save_videos_grid(path, v["video"][None], fps=8)
         print("wrote", path)
 
 

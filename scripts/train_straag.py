@@ -2,15 +2,19 @@
 """4D-STraG training CLI (the TPU equivalent of
 scripts/4D_STraG_training/train_wan.py).
 
-Data flow per step (reference §3.1): sceneflow pkl -> depth-guided
-normalization -> encoder-adaptor -> frozen VAE encode (latents + 48ch
-conditioning with 2% control dropout) -> jitted FSDP-sharded train step
-(flow-matching loss, stratified timesteps, EMA, loss guards) -> orbax
-checkpoints with data-order resume.
+Per step (reference §3.1): sceneflow pkl -> depth-guided normalization ->
+encoder-adaptor -> frozen VAE encode (latents + 48ch conditioning, 2%
+control dropout) -> REAL conditioning (tokenizer+umT5 text with 10%
+dropout, CLIP first-frame features with 2% dropout, OmniMAE MPM patch
+tokens) -> jitted FSDP+DP-sharded train step (flow-matching loss,
+stratified timesteps, EMA, loss guards) -> orbax checkpoints with
+data-order resume, JSONL/TensorBoard metrics, periodic validation
+sampling through the control pipeline.
 """
 
 import argparse
 import glob
+import json
 import os
 import sys
 
@@ -23,18 +27,23 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--data_dir", required=True,
                    help="directory of *_dt3d_pred.pkl sceneflow files")
-    p.add_argument("--prompts_json", default=None)
+    p.add_argument("--prompts_json", default=None,
+                   help="json mapping pkl basename -> text prompt")
     p.add_argument("--pretrained_ckpt", required=True)
     p.add_argument("--vae_ckpt", required=True)
-    p.add_argument("--t5_ckpt", required=True)
+    p.add_argument("--t5_ckpt", default=None)
     p.add_argument("--tokenizer", default="google/umt5-xxl")
+    p.add_argument("--clip_ckpt", default=None)
+    p.add_argument("--omnimae_ckpt", default=None)
     p.add_argument("--encoder_adaptor", required=True)
     p.add_argument("--output_dir", default="straag_ckpt")
-    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="per-step batch; sharded over the mesh data axis")
     p.add_argument("--learning_rate", type=float, default=2e-5)
     p.add_argument("--max_grad_norm", type=float, default=0.05)
     p.add_argument("--max_steps", type=int, default=10000)
     p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--validation_steps", type=int, default=0)
     p.add_argument("--height", type=int, default=368)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--num_frames", type=int, default=49)
@@ -47,26 +56,55 @@ def parse_args():
     return p.parse_args()
 
 
+def make_batch_iterator(files, prompts, sampler, batch_size, height, width,
+                        num_frames):
+    """Group sceneflow samples into fixed-shape batches (the reference's
+    --fix_sample_size path, train_wan.py:1298 — variable bucket shapes are
+    recompiles under XLA, so one canonical shape per run)."""
+    from more4d_tpu.data.sceneflow import (load_sceneflow_pickle,
+                                           prepare_straag_sample)
+
+    def gen():
+        samples, texts = [], []
+        for idx in sampler:
+            path = files[idx]
+            try:
+                coords, colors = load_sceneflow_pickle(path, height, width)
+                sample = prepare_straag_sample(coords, colors,
+                                               max_num_frames=num_frames)
+            except Exception as e:  # bad pkl: skip-and-continue (:796-810)
+                print(f"skipping {path}: {e}")
+                continue
+            if sample is None:
+                continue
+            samples.append(sample)
+            name = os.path.splitext(os.path.basename(path))[0]
+            texts.append(prompts.get(name, ""))
+            if len(samples) == batch_size:
+                yield samples, texts
+                samples, texts = [], []
+
+    return gen()
+
+
 def main():
     args = parse_args()
     import jax
-    import jax.numpy as jnp
 
-    from more4d_tpu.config import VAEConfig, dit_14b, dit_1_3b
+    from more4d_tpu.config import (PipelineConfig, VAEConfig, dit_14b,
+                                   dit_1_3b)
     from more4d_tpu.convert.dit_torch import load_wan_dit
     from more4d_tpu.convert.vae_torch import load_wan_vae
     from more4d_tpu.data import ResumableSampler
-    from more4d_tpu.data.sceneflow import (load_sceneflow_pickle,
-                                           prepare_straag_sample)
+    from more4d_tpu.infer.encoders import build_encoders
     from more4d_tpu.models import WanDiT
     from more4d_tpu.models.adaptors import (VAEEncoderAdaptor,
                                             convert_adaptor_state_dict)
     from more4d_tpu.models.wan_vae import WanVAE
-    from more4d_tpu.parallel import create_mesh, shard_params
-    from more4d_tpu.train import make_adamw
-    from more4d_tpu.train.checkpoint import CheckpointManager
-    from more4d_tpu.train.train_straag import (StraagTrainConfig,
-                                               make_train_step)
+    from more4d_tpu.parallel import create_mesh
+    from more4d_tpu.pipelines import WanControlPipeline
+    from more4d_tpu.train.harness import (StraagRunConfig, StraagTrainer)
+    from more4d_tpu.train.train_straag import StraagTrainConfig
 
     make_dit = dit_14b if args.model_size == "14b" else dit_1_3b
     cfg = make_dit(motion_guidance=True, in_dim=64, model_type="i2v",
@@ -83,75 +121,54 @@ def main():
         torch.load(args.encoder_adaptor, map_location="cpu",
                    weights_only=True), decoder=False)
 
-    mesh = create_mesh()
-    params = shard_params(params, mesh)
+    encoders = build_encoders(
+        t5_ckpt=args.t5_ckpt, tokenizer_path=args.tokenizer,
+        clip_ckpt=args.clip_ckpt, omnimae_ckpt=args.omnimae_ckpt,
+        text_dim=cfg.text_dim, text_len=cfg.text_len)
 
-    world = mesh.shape["data"]
+    mesh = create_mesh()
     tcfg = StraagTrainConfig(learning_rate=args.learning_rate,
                              max_grad_norm=args.max_grad_norm,
                              motion_sub_loss=args.motion_sub_loss,
-                             world_size=world)
-    tx = make_adamw(args.learning_rate)
-    opt_state = tx.init(params)
-    ema = jax.tree_util.tree_map(lambda x: x, params)
-    step_fn = jax.jit(make_train_step(dit, tx, tcfg))
+                             world_size=mesh.shape["data"])
+    rcfg = StraagRunConfig(
+        output_dir=args.output_dir, batch_size=args.batch_size,
+        max_steps=args.max_steps,
+        checkpointing_steps=args.checkpointing_steps,
+        validation_steps=args.validation_steps,
+        control_dropout=args.control_dropout,
+        text_dropout=args.text_dropout, seed=args.seed,
+        resume=args.resume)
+
+    validation_pipeline = None
+    if args.validation_steps:
+        pcfg = PipelineConfig(num_frames=args.num_frames,
+                              height=args.height, width=args.width,
+                              num_inference_steps=20)
+        validation_pipeline = WanControlPipeline(dit, vae, pcfg)
+
+    trainer = StraagTrainer(
+        dit, params, vae, vae_params, enc, enc_params,
+        encode_text=encoders.encode_text, mesh=mesh, tcfg=tcfg,
+        run_cfg=rcfg, encode_clip=encoders.encode_clip,
+        extract_mpm=encoders.extract_mpm,
+        validation_pipeline=validation_pipeline)
 
     files = sorted(glob.glob(os.path.join(args.data_dir,
                                           "*_dt3d_pred.pkl")))
+    if not files:
+        raise SystemExit(f"no *_dt3d_pred.pkl files in {args.data_dir}")
+    prompts = {}
+    if args.prompts_json:
+        with open(args.prompts_json) as f:
+            prompts = json.load(f)
+
     sampler = ResumableSampler(len(files), seed=args.seed)
-    mgr = CheckpointManager(args.output_dir)
-    global_step = 0
-    if args.resume and mgr.latest_step() is not None:
-        out = mgr.restore(params_like=params, opt_state_like=opt_state,
-                          ema_like=ema, with_extra=True)
-        params, opt_state, ema = out["params"], out["opt_state"], out["ema"]
-        sampler.load_state_dict(out["extra"]["sampler"])
-        global_step = out["extra"]["global_step"]
-
-    encode = jax.jit(lambda vp, x: vae.apply(vp, x, method=WanVAE.encode)[0])
-    rng = np.random.RandomState(args.seed)
-    key = jax.random.PRNGKey(args.seed)
-
-    it = iter(sampler)
-    while global_step < args.max_steps:
-        # ---- host-side sample assembly
-        idx = next(it)
-        coords, colors = load_sceneflow_pickle(files[idx], args.height,
-                                               args.width)
-        sample = prepare_straag_sample(coords, colors,
-                                       max_num_frames=args.num_frames)
-        if sample is None:
-            continue
-
-        pseudo = enc.apply(enc_params,
-                           jnp.asarray(sample.flow)[None]) * 2 - 1
-        latents = encode(vae_params, pseudo)
-        control = encode(vae_params, jnp.asarray(sample.control_video)[None])
-        if rng.rand() < args.control_dropout:   # 2% dropout (:1791-1798)
-            control = control * 0
-        start = jnp.zeros_like(latents)
-        depth_lat = encode(vae_params, jnp.broadcast_to(
-            jnp.asarray(sample.depth_image)[None],
-            (1, args.num_frames) + sample.depth_image.shape[1:]))
-        y = jnp.concatenate([control, start, depth_lat], axis=-1)
-
-        # text/clip/mpm embeddings: precomputed per-dataset in practice;
-        # plug the encoders from scripts/infer.py here.
-        batch = {"latents": latents, "y": y,
-                 "context": jnp.zeros((1, cfg.text_len, cfg.text_dim),
-                                      jnp.float32)}
-
-        key, sub = jax.random.split(key)
-        params, opt_state, ema, metrics = step_fn(
-            params, opt_state, ema, batch, sub, global_step)
-        global_step += 1
-        if global_step % 50 == 0:
-            print(f"step {global_step}: loss={float(metrics['loss']):.4f} "
-                  f"gnorm={float(metrics['grad_norm']):.4f}")
-        if global_step % args.checkpointing_steps == 0:
-            mgr.save(global_step, params, opt_state=opt_state, ema=ema,
-                     extra={"global_step": global_step,
-                            "sampler": sampler.state_dict()})
+    batches = make_batch_iterator(files, prompts, iter(sampler),
+                                  args.batch_size, args.height, args.width,
+                                  args.num_frames)
+    trainer.train(batches, extra_state=sampler.state_dict,
+                  restore_state=sampler.load_state_dict)
 
 
 if __name__ == "__main__":
