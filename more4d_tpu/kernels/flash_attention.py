@@ -1,17 +1,26 @@
-"""Pallas TPU flash attention (forward) with online softmax.
+"""Pallas TPU flash attention (forward + backward) with online softmax.
 
 TPU-native replacement for the reference's flash-attn-2/3 CUDA dependency
-(MoRe4D/models/wan_transformer4d.py:29-236). All attention calls in the Wan
-pipelines use fixed-length padded sequences with an optional key-length mask
-(`k_lens`), so we implement dense attention with per-batch kv-length masking —
-no varlen ragged batching is needed.
+(MoRe4D/models/wan_transformer4d.py:29-236; the reference trains through
+fused attention fwd+bwd). All attention calls in the Wan pipelines use
+fixed-length padded sequences with an optional key-length mask (`k_lens`),
+so we implement dense attention with per-batch kv-length masking — no varlen
+ragged batching is needed.
 
 Layout: q [B, H, Lq, D], k/v [B, H, Lk, D]; grid (B*H, Lq/bq, Lk/bk) with the
 kv dimension innermost ("arbitrary") so the online-softmax state (m, l, acc)
 persists in VMEM scratch across kv blocks. fp32 accumulation, bf16 MXU inputs.
 
-The backward pass currently recomputes attention with the XLA reference path
-(memory O(L^2)); a Pallas backward kernel replaces it for large-scale training.
+Backward (FlashAttention-2 scheme, memory O(L)):
+- forward additionally emits the per-row logsumexp;
+- delta = rowsum(dO * O) is a cheap XLA pass;
+- a dq kernel (grid kv-innermost) and a dk/dv kernel (grid q-innermost)
+  recompute probability blocks from q, k and the saved logsumexp. Score
+  blocks are formed kv-major ([bk, bq]) so lse/delta broadcast along the
+  TPU lane dimension without relayouts.
+
+The O(L^2) XLA path remains as `backward="xla"` fallback and as the parity
+oracle in tests.
 """
 
 from __future__ import annotations
@@ -25,9 +34,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+NUM_SUBLANES = 8  # lse/delta row vectors are stored [bh, 8, Lq] (q on
+                  # lanes, replicated over 8 sublanes) to satisfy the TPU
+                  # (8, 128) block-shape constraint without relayouts in
+                  # the backward kernels.
 
 
-def _flash_fwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref,
+def _flash_fwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                       m_scr, l_scr, acc_scr, *,
                       sm_scale: float, block_k: int, num_heads: int,
                       masked: bool):
@@ -71,6 +84,9 @@ def _flash_fwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref,
     def _finalize():
         o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(
             o_ref.dtype)
+        lse = m_scr[:] + jnp.log(jnp.maximum(l_scr[:], 1e-30))  # [bq, 1]
+        lse_ref[0] = jnp.broadcast_to(lse[:, 0][None, :],
+                                      (NUM_SUBLANES, lse.shape[0]))
 
 
 def _pad_to(x, axis, multiple):
@@ -108,7 +124,7 @@ def _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k, interpret):
         _flash_fwd_kernel, sm_scale=sm_scale, block_k=block_k,
         num_heads=h, masked=masked)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -118,22 +134,218 @@ def _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k, interpret):
                 pl.BlockSpec((1, block_k, d), lambda bh, i, j, _: (bh, j, 0)),
                 pl.BlockSpec((1, block_k, d), lambda bh, i, j, _: (bh, j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, d),
-                                   lambda bh, i, j, _: (bh, i, 0)),
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda bh, i, j, _: (bh, i, 0)),
+                pl.BlockSpec((1, NUM_SUBLANES, block_q),
+                             lambda bh, i, j, _: (bh, 0, i)),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, 1), jnp.float32),
                 pltpu.VMEM((block_q, 1), jnp.float32),
                 pltpu.VMEM((block_q, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, lqp, d), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, lqp, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, NUM_SUBLANES, lqp), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(kv_lens, qp, kp, vp)
 
-    return out.reshape(b, h, lqp, d)[:, :, :lq, :]
+    return out.reshape(b, h, lqp, d)[:, :, :lq, :], lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (FlashAttention-2 two-kernel scheme).
+#
+# Both kernels form the score block kv-major: s_t = k @ q^T [bk, bq], so the
+# per-q-row logsumexp/delta vectors broadcast along lanes. q-padding is
+# harmless because dO is zero there (=> ds, dv, dk contributions vanish);
+# kv padding/kv_lens are masked to -inf before exp.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_pt_block(q, k, lse_row, kv_lens_ref, ki, num_heads, block_k,
+                  sm_scale, masked):
+    """Recompute p^T [bk, bq] for one (q block, k block) pair."""
+    s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    s_t = s_t * sm_scale
+    if masked:
+        b = pl.program_id(0) // num_heads
+        kv_len = kv_lens_ref[b]
+        row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                      s_t.shape, 0)
+        s_t = jnp.where(row < kv_len, s_t, NEG_INF)
+    return jnp.exp(s_t - lse_row[None, :])
+
+
+def _flash_bwd_dq_kernel(kv_lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, dq_scr, *,
+                         sm_scale: float, block_k: int, num_heads: int,
+                         masked: bool):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]                 # [bq, D]
+    k = k_ref[0]                 # [bk, D]
+    v = v_ref[0]                 # [bk, D]
+    do = do_ref[0]               # [bq, D]
+    lse_row = lse_ref[0, 0, :]   # [bq] (lane vector)
+    delta_row = delta_ref[0, 0, :]
+
+    p_t = _bwd_pt_block(q, k, lse_row, kv_lens_ref, ki, num_heads, block_k,
+                        sm_scale, masked)                     # [bk, bq]
+    # dp^T = v @ do^T
+    dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    ds_t = p_t * (dp_t - delta_row[None, :]) * sm_scale       # [bk, bq]
+    # dq += ds^T @ k  == contract ds_t dim0 with k dim0
+    dq_scr[:] += jax.lax.dot_general(
+        ds_t.astype(k.dtype), k, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(kv_lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                          sm_scale: float, block_k: int, num_heads: int,
+                          masked: bool):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+    ki = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse_row = lse_ref[0, 0, :]
+    delta_row = delta_ref[0, 0, :]
+
+    p_t = _bwd_pt_block(q, k, lse_row, kv_lens_ref, ki, num_heads, block_k,
+                        sm_scale, masked)                     # [bk, bq]
+    dv_scr[:] += jax.lax.dot_general(
+        p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [bk, D]
+    dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    ds_t = p_t * (dp_t - delta_row[None, :]) * sm_scale
+    dk_scr[:] += jax.lax.dot_general(
+        ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [bk, D]
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, kv_lens, o, lse, g, sm_scale, block_q, block_k,
+                    interpret):
+    """dq, dk, dv with O(L) memory. q/k/v/o/g: [B, H, L, D]; lse [B*H, Lqp]."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+
+    masked = kv_lens is not None or (lk % block_k != 0)
+    if kv_lens is None:
+        kv_lens = jnp.full((b,), lk, jnp.int32)
+
+    block_q = min(block_q, max(lq, 8))
+    block_k = min(block_k, max(lk, 8))
+    qp = _pad_to(q, 2, block_q)
+    kp = _pad_to(k, 2, block_k)
+    vp = _pad_to(v, 2, block_k)
+    gp = _pad_to(g, 2, block_q)
+    op = _pad_to(o, 2, block_q)
+    lqp, lkp = qp.shape[2], kp.shape[2]
+
+    qp = qp.reshape(b * h, lqp, d)
+    kp = kp.reshape(b * h, lkp, d)
+    vp = vp.reshape(b * h, lkp, d)
+    gp = gp.reshape(b * h, lqp, d)
+    op = op.reshape(b * h, lqp, d)
+
+    # delta_i = sum_d dO_i O_i — one cheap fused elementwise+reduce pass,
+    # broadcast to the [bh, 8, Lq] row-vector layout.
+    delta = jnp.sum(gp.astype(jnp.float32) * op.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[:, None, :],
+                             (b * h, NUM_SUBLANES, lqp))
+
+    nq, nk = lqp // block_q, lkp // block_k
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, j, _: (bh, i, 0))
+    kv_spec_dq = pl.BlockSpec((1, block_k, d), lambda bh, i, j, _: (bh, j, 0))
+    row_spec = pl.BlockSpec((1, NUM_SUBLANES, block_q),
+                            lambda bh, i, j, _: (bh, 0, i))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, sm_scale=sm_scale,
+                          block_k=block_k, num_heads=h, masked=masked),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, nq, nk),
+            in_specs=[q_spec, kv_spec_dq, kv_spec_dq, q_spec, row_spec,
+                      row_spec],
+            out_specs=pl.BlockSpec((1, block_q, d),
+                                   lambda bh, i, j, _: (bh, i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, lqp, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_lens, qp, kp, vp, gp, lse, delta)
+
+    # dk/dv: q innermost; note index roles swap (i = kv block, j = q block).
+    q_spec2 = pl.BlockSpec((1, block_q, d), lambda bh, i, j, _: (bh, j, 0))
+    kv_spec2 = pl.BlockSpec((1, block_k, d), lambda bh, i, j, _: (bh, i, 0))
+    row_spec2 = pl.BlockSpec((1, NUM_SUBLANES, block_q),
+                             lambda bh, i, j, _: (bh, 0, j))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, sm_scale=sm_scale,
+                          block_k=block_k, num_heads=h, masked=masked),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, nk, nq),
+            in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2,
+                      row_spec2],
+            out_specs=[
+                pl.BlockSpec((1, block_k, d), lambda bh, i, j, _: (bh, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda bh, i, j, _: (bh, i, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                            pltpu.VMEM((block_k, d), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, lkp, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, lkp, d), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_lens, qp, kp, vp, gp, lse, delta)
+
+    dq = dq.reshape(b, h, lqp, d)[:, :, :lq]
+    dk = dk.reshape(b, h, lkp, d)[:, :, :lk]
+    dv = dv.reshape(b, h, lkp, d)[:, :, :lk]
+    return dq, dk, dv
 
 
 def _xla_attention(q, k, v, kv_lens, sm_scale):
@@ -147,24 +359,31 @@ def _xla_attention(q, k, v, kv_lens, sm_scale):
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _flash_attention_core(q, k, v, kv_lens, sm_scale, block_q, block_k,
-                          interpret):
-    return _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k,
-                          interpret)
+                          interpret, backward):
+    out, _ = _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k,
+                            interpret)
+    return out
 
 
-def _core_fwd(q, k, v, kv_lens, sm_scale, block_q, block_k, interpret):
-    out = _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k,
-                         interpret)
-    return out, (q, k, v, kv_lens)
+def _core_fwd(q, k, v, kv_lens, sm_scale, block_q, block_k, interpret,
+              backward):
+    out, lse = _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k,
+                              interpret)
+    return out, (q, k, v, kv_lens, out, lse)
 
 
-def _core_bwd(sm_scale, block_q, block_k, interpret, res, g):
-    q, k, v, kv_lens = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, kv_lens,
-                                                       sm_scale), q, k, v)
-    dq, dk, dv = vjp(g)
+def _core_bwd(sm_scale, block_q, block_k, interpret, backward, res, g):
+    q, k, v, kv_lens, o, lse = res
+    if backward == "pallas":
+        dq, dk, dv = _flash_backward(q, k, v, kv_lens, o, lse, g, sm_scale,
+                                     block_q, block_k, interpret)
+    else:  # O(L^2) XLA fallback
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_attention(q_, k_, v_, kv_lens, sm_scale),
+            q, k, v)
+        dq, dk, dv = vjp(g)
     return dq, dk, dv, None
 
 
@@ -174,12 +393,14 @@ _flash_attention_core.defvjp(_core_fwd, _core_bwd)
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     kv_lens: Optional[jnp.ndarray] = None,
                     sm_scale: Optional[float] = None,
-                    block_q: int = 256, block_k: int = 512,
-                    interpret: Optional[bool] = None) -> jnp.ndarray:
+                    block_q: int = 512, block_k: int = 1024,
+                    interpret: Optional[bool] = None,
+                    backward: str = "pallas") -> jnp.ndarray:
     """Flash attention over [B, L, H, D] tensors (BLHD layout like flash-attn).
 
     kv_lens: optional [B] int32 — keys at positions >= kv_lens[b] are masked
     (the reference's `k_lens` semantics, wan_transformer4d.py:136-169).
+    backward: "pallas" (O(L) memory, default) or "xla" (dense recompute).
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -189,7 +410,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
     out = _flash_attention_core(qt, kt, vt, kv_lens, sm_scale, block_q,
-                                block_k, interpret)
+                                block_k, interpret, backward)
     return jnp.swapaxes(out, 1, 2)
 
 

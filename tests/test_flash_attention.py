@@ -68,14 +68,16 @@ def test_flash_bf16_close_to_fp32():
     np.testing.assert_allclose(out, ref, rtol=0.1, atol=0.05)
 
 
-def test_flash_gradients_match_xla():
+@pytest.mark.parametrize("backward", ["pallas", "xla"])
+def test_flash_gradients_match_xla(backward):
     rng = np.random.RandomState(3)
     q = jnp.asarray(rng.randn(1, 24, 2, 32).astype(np.float32))
     k = jnp.asarray(rng.randn(1, 24, 2, 32).astype(np.float32))
     v = jnp.asarray(rng.randn(1, 24, 2, 32).astype(np.float32))
 
     def loss_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, block_q=8, block_k=8) ** 2)
+        return jnp.sum(flash_attention(q, k, v, block_q=8, block_k=8,
+                                       backward=backward) ** 2)
 
     def loss_xla(q, k, v):
         return jnp.sum(xla_attention(q, k, v) ** 2)
@@ -85,3 +87,52 @@ def test_flash_gradients_match_xla():
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                    atol=1e-4)
+
+
+@pytest.mark.parametrize("lq,lk", [(40, 24), (17, 9), (128, 512)])
+def test_pallas_backward_ragged_lengths(lq, lk):
+    """Pallas dq/dk/dv vs XLA autodiff at non-block-multiple lengths
+    (q/kv padding must not leak into gradients)."""
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(2, lq, 2, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, lk, 2, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, lk, 2, 32).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, lq, 2, 32).astype(np.float32))
+
+    def run(backward):
+        def f(q, k, v):
+            return jnp.vdot(flash_attention(q, k, v, block_q=16, block_k=16,
+                                            backward=backward), g)
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(run("pallas"), run("xla")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-4)
+
+
+def test_pallas_backward_kv_lens():
+    """Gradients must be exactly zero for masked-out keys/values and must
+    not depend on their contents."""
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(2, 32, 2, 32).astype(np.float32))
+    k = rng.randn(2, 48, 2, 32).astype(np.float32)
+    v = rng.randn(2, 48, 2, 32).astype(np.float32)
+    kv_lens = jnp.asarray(np.array([20, 48], np.int32))
+
+    def f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_lens=kv_lens, block_q=16,
+                                       block_k=16, backward="pallas") ** 2)
+
+    dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(q, jnp.asarray(k),
+                                                jnp.asarray(v))
+    assert float(jnp.abs(dk[0, 20:]).max()) == 0.0
+    assert float(jnp.abs(dv[0, 20:]).max()) == 0.0
+
+    k2, v2 = k.copy(), v.copy()
+    k2[0, 20:] = 77.0
+    v2[0, 20:] = -11.0
+    dq2, dk2, dv2 = jax.grad(f, argnums=(0, 1, 2))(q, jnp.asarray(k2),
+                                                   jnp.asarray(v2))
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dk[0, :20]),
+                               np.asarray(dk2[0, :20]), atol=1e-6)
