@@ -4,15 +4,25 @@ Runs on real TPU hardware (driver-invoked). One denoise step = one
 CFG-doubled forward of the 4D-STraG DiT at 49 frames, 368x512 (9,568 tokens,
 the reference's default; BASELINE.md). Prints ONE JSON line.
 
-Notes on methodology: this environment's PJRT relay makes dispatch fully
-async (block_until_ready does not wait) and adds ~tens of ms per call, so we
-chain N denoise steps inside ONE jitted lax.fori_loop and force a scalar
-readback; steps/sec = (N_hi - N_lo) / (t_hi - t_lo) cancels the constant
-round-trip overhead.
+Reported alongside steps/s (VERDICT r1 weak #5):
+- achieved model TFLOP/s and MFU (analytic FLOPs, more4d_tpu/utils/flops.py;
+  peak per device kind, 197 TF/s bf16 for the v5e this runs on);
+- a 14B entry: the full 4D model is 17.04B params (the "14B" branding
+  excludes i2v cross-attn + MPM) = 15.9 GiB even at fp8, which cannot hold
+  activations alongside on one 16 GiB v5e — so the 14B number is measured
+  per-block at TRUE 14B shapes (12- and 24-block fp8-weight models on chip,
+  t = a + n*b fit) and extrapolated to 40 blocks, labelled as such;
+- vs_baseline compares against the committed bench_baseline.json (round-1
+  measured value), no longer self-referential.
 
-The reference publishes no benchmark numbers (BASELINE.json published={}), so
-``vs_baseline`` is reported against our own recorded baseline in
-bench_baseline.json when present, else 1.0.
+Modes (MORE4D_BENCH_MODE): "denoise" (default) | "two_stage" — the latter
+times image -> depth -> STraG(50 steps) -> render sweep -> ViSM inpaint
+per-stage at 49f/368x512 against the <60 s north star (BASELINE.json).
+
+Methodology note: this environment's PJRT relay makes dispatch fully async
+and adds ~tens of ms per call, so we chain N denoise steps inside ONE jitted
+lax.fori_loop and force a scalar readback; steps/sec = (N_hi - N_lo) /
+(t_hi - t_lo) cancels the constant round-trip overhead.
 """
 
 import json
@@ -48,18 +58,69 @@ def _timed_chain(fn, params, x, t, ctx, y, clip, mpm, guidance=6.0):
                                        t2, n)
 
 
-def main():
-    cache_dir = os.environ.get("MORE4D_COMPILE_CACHE",
-                               "/root/.cache/more4d_jax")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+def bench_14b_extrapolated():
+    """Per-block timing at true 14B shapes (fp8 weights), 40-block fit."""
+    from more4d_tpu.config import dit_14b
+    from more4d_tpu.models import WanDiT
+    from more4d_tpu.utils.flops import detect_tpu_peak, dit_forward_flops
 
+    frames, height, width = 49, 368, 512
+    lt, lh, lw = (frames - 1) // 4 + 1, height // 8, width // 8
+    bsz = 2  # CFG-doubled
+    fp8 = jnp.float8_e4m3fn
+
+    def run(n_layers):
+        cfg = dit_14b(motion_guidance=True, in_dim=64, model_type="i2v",
+                      dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                      num_layers=n_layers)
+        model = WanDiT(cfg)
+        x = jnp.zeros((bsz, lt, lh, lw, 16), jnp.bfloat16)
+        t = jnp.full((bsz,), 500.0, jnp.float32)
+        ctx = jnp.zeros((bsz, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+        kw = dict(y=jnp.zeros((bsz, lt, lh, lw, 48), jnp.bfloat16),
+                  clip_fea=jnp.zeros((bsz, cfg.clip_tokens, cfg.clip_dim),
+                                     jnp.bfloat16),
+                  mpm_features=jnp.zeros((bsz, 196, cfg.motion_feature_dim),
+                                         jnp.bfloat16))
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t,
+                                ctx, **kw)
+        leaf = lambda s: jnp.zeros(  # noqa: E731
+            s.shape, fp8 if len(s.shape) >= 2 else jnp.bfloat16)
+        params = jax.jit(lambda: jax.tree.map(leaf, shapes))()
+        jax.block_until_ready(params)
+        fwd = jax.jit(lambda p: model.apply(p, x, t, ctx, **kw))
+        out = fwd(params)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fwd(params))
+            ts.append(time.perf_counter() - t0)
+        return min(ts), cfg
+
+    t12, _ = run(12)
+    t24, cfg = run(24)
+    slope = (t24 - t12) / 12
+    t40 = t12 - 12 * slope + 40 * slope
+    tokens = lt * (lh // 2) * (lw // 2)
+    flops = dit_forward_flops(cfg, tokens, batch=bsz, num_layers=40)
+    peak = detect_tpu_peak()
+    return {
+        "steps_per_sec": round(1.0 / t40, 4),
+        "step_ms": round(t40 * 1e3, 1),
+        "tflops_per_s": round(flops / t40 / 1e12, 1),
+        "mfu": round(flops / t40 / peak, 4),
+        "method": "fp8-weight 12/24-block fit at true 14B shapes, "
+                  "extrapolated to 40 blocks (17.04B params > 16GiB HBM)",
+    }
+
+
+def bench_denoise():
     size = os.environ.get("MORE4D_BENCH_SIZE", "1.3b")
     os.environ["MORE4D_ENTRY_SIZE"] = size
     import __graft_entry__ as ge
+    from more4d_tpu.config import WAN_1_3B, DiTConfig
+    from more4d_tpu.utils.flops import detect_tpu_peak, dit_forward_flops
 
     fn, args = ge.entry()
     params, x, t, ctx, y, clip, mpm = args
@@ -80,6 +141,24 @@ def main():
     t_hi = min(run(n_hi) for _ in range(2))
     steps_per_sec = (n_hi - n_lo) / max(t_hi - t_lo, 1e-9)
 
+    # analytic model FLOPs for the CFG-doubled step
+    extra = {}
+    if size == "1.3b":
+        cfg = DiTConfig(motion_guidance=True, **WAN_1_3B)
+        lt, lh, lw = 13, 46, 64
+        tokens = lt * (lh // 2) * (lw // 2)
+        flops = dit_forward_flops(cfg, tokens, batch=2)
+        peak = detect_tpu_peak()
+        extra["tflops_per_s"] = round(flops * steps_per_sec / 1e12, 1)
+        extra["mfu"] = round(flops * steps_per_sec / peak, 4)
+        extra["model_flops_per_step_tf"] = round(flops / 1e12, 1)
+
+    if os.environ.get("MORE4D_BENCH_14B", "1") == "1":
+        try:
+            extra["14b_extrapolated"] = bench_14b_extrapolated()
+        except Exception as e:  # never fail the whole bench on the 14B leg
+            extra["14b_extrapolated"] = {"error": f"{type(e).__name__}: {e}"}
+
     vs = 1.0
     base_path = os.path.join(os.path.dirname(__file__),
                              "bench_baseline.json")
@@ -94,7 +173,154 @@ def main():
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(vs, 4),
+        "extra": extra,
     }))
+
+
+def bench_two_stage():
+    """Per-stage wall time of the full pipeline at 49f/368x512 with
+    randomly-initialized 1.3B-class weights (no released checkpoints in
+    this environment; compute cost is weight-independent).
+
+    Stages (infer.py:1092-1142): depth lift -> STraG 50-step CFG denoise +
+    VAE decode -> trajectory render (x1, of 11) -> ViSM 50-step inpaint
+    (x1, of 11)."""
+    import numpy as _np
+
+    from more4d_tpu.config import (PipelineConfig, VAEConfig, dit_1_3b)
+    from more4d_tpu.geometry import get_intrinsic_matrix
+    from more4d_tpu.geometry.cameras import generate_trajectory
+    from more4d_tpu.geometry.gaussians import gs_render_video
+    from more4d_tpu.models import WanDiT
+    from more4d_tpu.models.wan_vae import WanVAE
+    from more4d_tpu.pipelines import (WanControlPipeline, WanInpaintPipeline)
+
+    h, w, t_frames, steps = 368, 512, 49, 50
+    cfg4 = dit_1_3b(motion_guidance=True, in_dim=64, model_type="i2v",
+                    dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    cfg_inp = dit_1_3b(motion_guidance=False, in_dim=36, model_type="i2v",
+                       dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    dit4, dit_inp = WanDiT(cfg4), WanDiT(cfg_inp)
+    vae = WanVAE(VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16))
+    pcfg = PipelineConfig(num_inference_steps=steps, num_frames=t_frames,
+                          height=h, width=w)
+    ctrl = WanControlPipeline(dit4, vae, pcfg)
+    inp = WanInpaintPipeline(dit_inp, vae, pcfg)
+
+    rng = jax.random.PRNGKey(0)
+    lt, lh, lw = (t_frames - 1) // 4 + 1, h // 8, w // 8
+    mk = lambda *s: jnp.zeros(s, jnp.bfloat16)  # noqa: E731
+    p4 = jax.jit(dit4.init)(rng, mk(1, lt, lh, lw, 16),
+                            jnp.zeros((1,), jnp.float32),
+                            mk(1, cfg4.text_len, cfg4.text_dim),
+                            y=mk(1, lt, lh, lw, 48),
+                            clip_fea=mk(1, cfg4.clip_tokens, cfg4.clip_dim),
+                            mpm_features=mk(1, 196,
+                                            cfg4.motion_feature_dim))
+    p_inp = jax.jit(dit_inp.init)(rng, mk(1, lt, lh, lw, 16),
+                                  jnp.zeros((1,), jnp.float32),
+                                  mk(1, cfg_inp.text_len, cfg_inp.text_dim),
+                                  y=mk(1, lt, lh, lw, 20),
+                                  clip_fea=mk(1, cfg_inp.clip_tokens,
+                                              cfg_inp.clip_dim))
+    vp = jax.jit(vae.init)(rng, mk(1, 5, 64, 64, 3))
+
+    rs = _np.random.RandomState(0)
+    image = jnp.asarray(rs.rand(h, w, 3) * 2 - 1, jnp.float32)
+    depth = jnp.asarray(1.0 + rs.rand(h, w) * 5.0, jnp.float32)
+    prompt = mk(1, cfg4.text_len, cfg4.text_dim).astype(jnp.float32)
+    timings = {}
+
+    # NOTE: this environment's PJRT relay makes block_until_ready a no-op
+    # on pending relay work; force a scalar readback to fence each stage.
+    fence = lambda a: float(jnp.sum(jnp.abs(a).astype(jnp.float32)))  # noqa
+
+    # stage 0: depth lift (back-projection; UniDepth provider separate)
+    from more4d_tpu.geometry import back_project_coords
+    coords0 = back_project_coords(depth, h, w)
+    fence(coords0)  # warm
+    t0 = time.perf_counter()
+    coords0 = back_project_coords(depth, h, w)
+    fence(coords0)
+    timings["depth_lift_s"] = round(time.perf_counter() - t0, 3)
+
+    # stage 1: 50-step CFG-doubled control denoise + VAE decode
+    control = jnp.broadcast_to(image[None, None], (1, t_frames, h, w, 3))
+
+    def run_stage1():
+        t0 = time.perf_counter()
+        out = ctrl(p4, vp, rng, prompt, neg_embeds=prompt,
+                   control_video=control,
+                   depth_image=image[None, None],
+                   clip_fea=mk(1, cfg4.clip_tokens, cfg4.clip_dim),
+                   mpm_features=mk(1, 196, cfg4.motion_feature_dim),
+                   output_type="no_normalize")
+        fence(out)
+        return time.perf_counter() - t0
+
+    timings["stage1_compile_s"] = round(run_stage1(), 2)
+    timings["stage1_s"] = round(min(run_stage1() for _ in range(2)), 2)
+
+    # render one trajectory of the 11-sweep
+    coords = _np.asarray(coords0).reshape(-1, 3)
+    coords_video = jnp.asarray(
+        _np.repeat(coords[None], t_frames, 0), jnp.float32)
+    colors = jnp.asarray(rs.rand(coords.shape[0], 3), jnp.float32)
+    exts = generate_trajectory("static", coords.mean(0), t_frames)
+    intr = get_intrinsic_matrix(h, w)
+    for warm in (True, False):
+        t0 = time.perf_counter()
+        frames, alpha = gs_render_video(coords_video, colors,
+                                        jnp.asarray(exts), intr, h, w)
+        fence(frames)
+        timings["render_compile_s" if warm else "render_per_traj_s"] = \
+            round(time.perf_counter() - t0, 2)
+
+    # stage 2: 50-step inpaint for one trajectory
+    video = frames.astype(jnp.float32) * 2 - 1
+    mask = (alpha < 0.5).astype(jnp.float32)[..., None]
+    def run_stage2():
+        t0 = time.perf_counter()
+        out2 = inp(p_inp, vp, rng, prompt, neg_embeds=prompt,
+                   video=video[None], mask=mask[None],
+                   clip_fea=mk(1, cfg_inp.clip_tokens, cfg_inp.clip_dim))
+        fence(out2)
+        return time.perf_counter() - t0
+    timings["stage2_compile_s"] = round(run_stage2(), 2)
+    timings["stage2_per_traj_s"] = round(min(run_stage2()
+                                             for _ in range(2)), 2)
+
+    total_1traj = (timings["depth_lift_s"] + timings["stage1_s"]
+                   + timings["render_per_traj_s"]
+                   + timings["stage2_per_traj_s"])
+    timings["total_1traj_s"] = round(total_1traj, 2)
+    timings["total_11traj_s"] = round(
+        timings["depth_lift_s"] + timings["stage1_s"]
+        + 11 * (timings["render_per_traj_s"]
+                + timings["stage2_per_traj_s"]), 2)
+    print(json.dumps({
+        "metric": "two_stage_e2e_seconds[1.3b,49f,368x512,50steps,1traj]",
+        "value": timings["total_1traj_s"],
+        "unit": "s",
+        "vs_baseline": 1.0,
+        "extra": timings,
+    }))
+
+
+def main():
+    cache_dir = os.environ.get("MORE4D_COMPILE_CACHE",
+                               "/root/.cache/more4d_jax")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    mode = os.environ.get("MORE4D_BENCH_MODE", "denoise")
+    if mode == "two_stage":
+        bench_two_stage()
+    else:
+        bench_denoise()
 
 
 if __name__ == "__main__":

@@ -6,14 +6,13 @@ model installed from github (README:59) whose code is *not* part of the
 MoRe4D snapshot. Only the depth map is consumed, so the framework treats
 depth as a provider interface:
 
+- ``unidepth_jax``            — the native JAX UniDepth-V2 port
+  (models/unidepth.py: DINOv2 ViT-L/14 backbone golden-tested vs
+  transformers, camera-token pinhole head, SH ray-prompted depth decoder);
 - ``PrecomputedDepthProvider`` — .npy/.npz depth maps saved offline;
 - ``TorchUniDepthProvider``   — wraps an installed ``unidepth`` package on
   the host (CPU/GPU), when available;
 - ``ConstantDepthProvider``   — tests/debug.
-
-A native JAX UniDepth-V2 port (ViT-L backbone + camera self-prompting depth
-head) is planned; it requires the released weights to validate, which the
-zero-egress build environment cannot fetch.
 """
 
 from __future__ import annotations
@@ -83,4 +82,8 @@ def get_depth_provider(kind: str, **kw) -> DepthProvider:
         return PrecomputedDepthProvider(**kw)
     if kind == "unidepth":
         return TorchUniDepthProvider(**kw)
+    if kind == "unidepth_jax":
+        from .unidepth import JaxUniDepthProvider
+
+        return JaxUniDepthProvider(**kw)
     raise ValueError(f"unknown depth provider {kind}")

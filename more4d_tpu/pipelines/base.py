@@ -57,15 +57,25 @@ class BasePipeline:
     # ---------------- VAE helpers ---------------- #
 
     def encode_video(self, vae_params, video):
-        """video [B,T,H,W,3] in [-1,1] -> deterministic (mode) latents."""
-        mu, _ = self.vae.apply(vae_params, video, method=WanVAE.encode)
+        """video [B,T,H,W,3] in [-1,1] -> deterministic (mode) latents.
+
+        Uses the chunked streaming driver (frame chunks [1,4,4,...] as a
+        lax.scan over the conv caches, the reference's wan_vae.py:520-547
+        semantics): the fused full-sequence encoder materialises ~2 GB
+        activations per layer at 49f 368x512 and OOMs a 16 GB chip."""
+        from ..models.vae_streaming import encode_streamed
+
+        mu, _ = encode_streamed(self.vae, vae_params, video)
         return mu
 
     def decode_latents(self, vae_params, latents, normalize_output=True):
         """Latents -> frames. True maps to [0,1] (decode_latents,
         pipeline_wan_fun_control.py:376-381); False returns the raw [-1,1]
-        decode used for trajectory tensors (decode_latents_no_normalize)."""
-        frames = self.vae.apply(vae_params, latents, method=WanVAE.decode)
+        decode used for trajectory tensors (decode_latents_no_normalize).
+        Streamed per latent frame (wan_vae.py:678-703)."""
+        from ..models.vae_streaming import decode_streamed
+
+        frames = decode_streamed(self.vae, vae_params, latents)
         if normalize_output:
             frames = jnp.clip(frames / 2 + 0.5, 0.0, 1.0)
         return frames

@@ -57,7 +57,7 @@ def parse_args():
     p.add_argument("--cfg_skip_ratio", type=float, default=0.0)
     p.add_argument("--riflex_k", type=int, default=None)
     p.add_argument("--depth_provider", default="unidepth",
-                   choices=["unidepth", "precomputed", "constant"])
+                   choices=["unidepth", "unidepth_jax", "precomputed", "constant"])
     p.add_argument("--depth_dir", default=None)
     p.add_argument("--use_gs", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=43)

@@ -1,0 +1,161 @@
+"""UniDepth-V2 JAX port: DINOv2 backbone golden vs transformers'
+Dinov2Model (the available oracle; the third-party `unidepth` package is
+not installable in this environment), SH ray-encoding math, camera head
+sanity, and the full infer() provider path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from more4d_tpu.models.dinov2 import DinoV2ViT, convert_dinov2_state_dict
+from more4d_tpu.models.unidepth import (JaxUniDepthProvider, UniDepthV2,
+                                        preprocess, rays_from_intrinsics,
+                                        spherical_harmonics)
+
+
+@pytest.fixture(scope="module")
+def tiny_torch_dinov2():
+    import torch
+    from transformers import Dinov2Config, Dinov2Model
+
+    torch.manual_seed(0)
+    cfg = Dinov2Config(hidden_size=64, num_hidden_layers=2,
+                       num_attention_heads=2, intermediate_size=256,
+                       image_size=70, patch_size=14, layerscale_value=1.0)
+    model = Dinov2Model(cfg).eval()
+    # randomize layerscale so it actually tests the multiply
+    with torch.no_grad():
+        for layer in model.encoder.layer:
+            layer.layer_scale1.lambda1.mul_(
+                torch.rand_like(layer.layer_scale1.lambda1) + 0.5)
+            layer.layer_scale2.lambda1.mul_(
+                torch.rand_like(layer.layer_scale2.lambda1) + 0.5)
+    return model
+
+
+def test_dinov2_golden_vs_transformers(tiny_torch_dinov2):
+    import torch
+
+    model = tiny_torch_dinov2
+    rs = np.random.RandomState(0)
+    img = rs.randn(1, 3, 70, 70).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(img)).last_hidden_state.numpy()
+
+    jmodel = DinoV2ViT(embed_dim=64, depth=2, num_heads=2, patch_size=14,
+                       pos_grid=5)
+    params = convert_dinov2_state_dict(model.state_dict(), depth=2)
+    out, grid = jmodel.apply(params, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    assert grid == (5, 5)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_dinov2_intermediate_layers(tiny_torch_dinov2):
+    import torch
+
+    model = tiny_torch_dinov2
+    rs = np.random.RandomState(1)
+    img = rs.randn(1, 3, 70, 70).astype(np.float32)
+    with torch.no_grad():
+        hs = model(torch.from_numpy(img),
+                   output_hidden_states=True).hidden_states
+        # hidden_states[i+1] = output of block i (pre final norm)
+        ref0 = model.layernorm(hs[1]).numpy()
+
+    jmodel = DinoV2ViT(embed_dim=64, depth=2, num_heads=2, patch_size=14,
+                       pos_grid=5)
+    params = convert_dinov2_state_dict(model.state_dict(), depth=2)
+    (layers, grid) = jmodel.apply(params,
+                                  jnp.asarray(img.transpose(0, 2, 3, 1)),
+                                  layer_ids=[0, 1],
+                                  method=DinoV2ViT.get_intermediate_layers)
+    patch0, cls0 = layers[0]
+    np.testing.assert_allclose(np.asarray(cls0), ref0[:, 0], rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(patch0), ref0[:, 1:], rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_dinov2_pos_interpolation_shapes():
+    """Non-pretraining input sizes run via bicubic pos-embed interpolation."""
+    jmodel = DinoV2ViT(embed_dim=64, depth=1, num_heads=2, patch_size=14,
+                       pos_grid=5)
+    params = jmodel.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 70, 70, 3)))
+    out, grid = jmodel.apply(params, jnp.zeros((1, 56, 84, 3)))
+    assert grid == (4, 6)
+    assert out.shape == (1, 1 + 24, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spherical_harmonics_constants():
+    """l=0 constant; unit-sphere integrals: mean of Y_lm^2 = 1/(4pi)."""
+    rs = np.random.RandomState(0)
+    d = rs.randn(20000, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    sh = np.asarray(spherical_harmonics(jnp.asarray(d), degree=3))
+    assert sh.shape == (20000, 16)
+    np.testing.assert_allclose(sh[:, 0], 0.28209479, rtol=1e-6)
+    # orthonormality under uniform sphere sampling: E[Y_i Y_j] = delta/(4pi)
+    gram = sh.T @ sh / sh.shape[0]
+    expected = np.eye(16) / (4 * np.pi)
+    np.testing.assert_allclose(gram, expected, atol=5e-3)
+
+
+def test_rays_from_intrinsics_center():
+    k_mat = jnp.asarray([[[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]]])
+    rays = rays_from_intrinsics(k_mat, 6, 8, 48, 64)
+    assert rays.shape == (1, 48, 3)
+    norms = np.linalg.norm(np.asarray(rays), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-6)
+    # ray at patch (3, 4): center (36, 28) px -> dir ((36-32)/100,
+    # (28-24)/100, 1) normalized
+    center = np.asarray(rays).reshape(6, 8, 3)[3, 4]
+    expect = np.array([0.04, 0.04, 1.0])
+    expect /= np.linalg.norm(expect)
+    np.testing.assert_allclose(center, expect, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_unidepth():
+    model = UniDepthV2(backbone_dim=32, backbone_depth=2, backbone_heads=2,
+                       hidden_dim=32, layer_ids=(0, 1))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 56, 70, 3), jnp.float32))
+    return model, params
+
+
+def test_unidepth_forward_shapes(tiny_unidepth):
+    model, params = tiny_unidepth
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 56, 70, 3).astype(np.float32))
+    depth, k_mat = model.apply(params, x)
+    assert depth.shape == (2, 16, 20)          # 4x the 14-patch grid
+    assert k_mat.shape == (2, 3, 3)
+    d = np.asarray(depth)
+    assert np.isfinite(d).all() and (d > 0).all()
+    k_np = np.asarray(k_mat)
+    assert (k_np[:, 0, 0] > 0).all() and (k_np[:, 1, 1] > 0).all()
+    assert (k_np[:, 0, 2] >= 0).all() and (k_np[:, 0, 2] <= 70).all()
+
+
+def test_unidepth_provider_roundtrip(tiny_unidepth):
+    model, params = tiny_unidepth
+    provider = JaxUniDepthProvider(params=params, model=model,
+                                   pixel_budget=56 * 70)
+    img = np.random.RandomState(1).rand(37, 53, 3).astype(np.float32)
+    depth = provider(img)
+    assert depth.shape == (37, 53)
+    assert np.isfinite(depth).all() and (depth > 0).all()
+
+
+def test_preprocess_budget_and_multiple():
+    img = np.random.RandomState(2).rand(360, 640, 3).astype(np.float32)
+    x, (h, w) = preprocess(img, pixel_budget=518 * 518)
+    assert (h, w) == (360, 640)
+    _, nh, nw, _ = x.shape
+    assert nh % 14 == 0 and nw % 14 == 0
+    assert abs(nh * nw - 518 * 518) / (518 * 518) < 0.15
+    # ImageNet normalization applied
+    assert float(jnp.abs(x).max()) > 1.0
