@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""4D-ViSM LoRA training CLI (the TPU equivalent of
+scripts/4D_ViSM_training/train.py).
+
+Per step: ViSM training pair (projected/pre-rendered novel view + holes,
+data/vism.py) -> frozen-VAE latents of original + masked video -> folded 4ch
+mask latents (inpaint pipeline semantics, train.py:1634-1651) -> inpaint
+conditioning zeroed by the t2v_flag (:1600-1605) -> jitted LoRA-only
+flow-matching step (rank 4, lr 1e-4) -> LoRA-only safetensors-style orbax
+checkpoints (:900-947) + metrics.
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_dir", required=True,
+                   help="dir with videos/*.mp4 + dt3d_render/ pairs "
+                        "(wan_dataset.py path conventions)")
+    p.add_argument("--prompts_json", default=None)
+    p.add_argument("--pretrained_ckpt", required=True,
+                   help="Wan-Fun-InP base checkpoint")
+    p.add_argument("--vae_ckpt", required=True)
+    p.add_argument("--t5_ckpt", default=None)
+    p.add_argument("--tokenizer", default="google/umt5-xxl")
+    p.add_argument("--clip_ckpt", default=None)
+    p.add_argument("--use_3dgs", action="store_true",
+                   help="use pre-rendered *_dt3d_render.mp4 instead of live "
+                        "point projection")
+    p.add_argument("--output_dir", default="vism_lora_ckpt")
+    p.add_argument("--lora_rank", type=int, default=4)
+    p.add_argument("--lora_alpha", type=float, default=4.0)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--max_steps", type=int, default=10000)
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--log_steps", type=int, default=20)
+    p.add_argument("--height", type=int, default=368)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--num_frames", type=int, default=49)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--model_size", default="14b", choices=["14b", "1.3b"])
+    p.add_argument("--resume", action="store_true")
+    return p.parse_args()
+
+
+def prepare_vism_batch(sample, vae, vae_params, encode_text, encode_clip,
+                       encode_fn=None):
+    """ViSMSample -> jitted-step batch (train.py:1614-1668 semantics)."""
+    import jax.numpy as jnp
+
+    from more4d_tpu.models.vae_streaming import encode_streamed
+    from more4d_tpu.pipelines.inpaint import (fold_mask_to_latent_channels,
+                                              resize_mask_to_latent)
+
+    enc = encode_fn or (lambda v: encode_streamed(vae, vae_params, v)[0])
+    pixel = jnp.asarray(sample.pixel_values)[None]
+    latents = enc(pixel)
+    mask_latents = enc(jnp.asarray(sample.mask_pixel_values)[None])
+    mask1 = jnp.asarray(sample.mask[..., :1])[None]     # [1,T,H,W,1]
+    mask4 = fold_mask_to_latent_channels(1.0 - mask1)
+    mask4 = resize_mask_to_latent(mask4, latents.shape)
+    y = jnp.concatenate([mask4, mask_latents], axis=-1)
+    y = y * sample.t2v_keep_flag                         # t2v_flag
+    batch = {"latents": latents, "y": y,
+             "context": encode_text([sample.text]).astype(jnp.float32)}
+    if encode_clip is not None:
+        batch["clip_fea"] = encode_clip(
+            jnp.asarray(sample.clip_image01)[None] * 2.0 - 1.0)
+    return batch
+
+
+def run_training(dit, base_params, vae, vae_params, encode_text,
+                 sample_iter, args, encode_clip=None):
+    """Core loop, callable from tests with tiny models."""
+    import jax
+    import optax
+
+    from more4d_tpu.train.checkpoint import CheckpointManager
+    from more4d_tpu.train.lora import create_lora
+    from more4d_tpu.train.train_vism import (VismTrainConfig,
+                                             make_vism_train_step)
+    from more4d_tpu.utils.metrics import MetricsLogger
+
+    tcfg = VismTrainConfig(learning_rate=args.learning_rate)
+    lora = create_lora(base_params, jax.random.PRNGKey(args.seed),
+                       rank=args.lora_rank, alpha=args.lora_alpha)
+    tx = optax.adamw(args.learning_rate)
+    opt_state = tx.init(lora["factors"])
+    step_fn = jax.jit(make_vism_train_step(dit, tx, tcfg))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    metrics = MetricsLogger(args.output_dir)
+    mgr = CheckpointManager(args.output_dir)
+    key = jax.random.PRNGKey(args.seed)
+    global_step = 0
+    if args.resume and mgr.latest_step() is not None:
+        out = mgr.restore(params_like=lora, opt_state_like=opt_state,
+                          with_extra=True)
+        lora, opt_state = out["params"], out["opt_state"]
+        global_step = (out.get("extra") or {}).get("global_step", 0)
+
+    for sample in sample_iter:
+        if global_step >= args.max_steps:
+            break
+        batch = prepare_vism_batch(sample, vae, vae_params, encode_text,
+                                   encode_clip)
+        key, sub = jax.random.split(key)
+        lora, opt_state, m = step_fn(lora, opt_state, base_params, batch,
+                                     sub)
+        global_step += 1
+        if global_step % args.log_steps == 0 or global_step == 1:
+            metrics.log(global_step, {k: float(v) for k, v in m.items()},
+                        prefix="train")
+            print(f"step {global_step}: loss={float(m['loss']):.4f}")
+        if global_step % args.checkpointing_steps == 0:
+            # LoRA-only checkpoint (reference saves only the network,
+            # train.py:940-941)
+            mgr.save(global_step, lora, opt_state=opt_state,
+                     extra={"global_step": global_step})
+    metrics.close()
+    mgr.close()
+    return lora
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from more4d_tpu.config import VAEConfig, dit_14b, dit_1_3b
+    from more4d_tpu.convert.dit_torch import load_wan_dit
+    from more4d_tpu.convert.vae_torch import load_wan_vae
+    from more4d_tpu.data.vism import load_prerendered, prepare_vism_sample
+    from more4d_tpu.infer.encoders import build_encoders
+    from more4d_tpu.models import WanDiT
+    from more4d_tpu.models.wan_vae import WanVAE
+    from more4d_tpu.utils.artifacts import read_video_frames
+
+    make_dit = dit_14b if args.model_size == "14b" else dit_1_3b
+    cfg = make_dit(motion_guidance=False, in_dim=36, model_type="i2v",
+                   remat=True)
+    dit = WanDiT(cfg)
+    vae = WanVAE(VAEConfig())
+    base_params = load_wan_dit(args.pretrained_ckpt, cfg)
+    vae_params = load_wan_vae(args.vae_ckpt)
+    encoders = build_encoders(
+        t5_ckpt=args.t5_ckpt, tokenizer_path=args.tokenizer,
+        clip_ckpt=args.clip_ckpt, text_dim=cfg.text_dim,
+        text_len=cfg.text_len)
+
+    videos = sorted(glob.glob(os.path.join(args.data_dir, "videos",
+                                           "*.mp4")))
+    if not videos:
+        raise SystemExit(f"no videos/*.mp4 under {args.data_dir}")
+    prompts = {}
+    if args.prompts_json:
+        with open(args.prompts_json) as f:
+            prompts = json.load(f)
+    rng = np.random.RandomState(args.seed)
+
+    def samples():
+        import pickle
+
+        while True:
+            path = videos[int(rng.randint(len(videos)))]
+            name = os.path.splitext(os.path.basename(path))[0]
+            try:
+                video = read_video_frames(path, args.num_frames,
+                                          (args.height, args.width))
+                if args.use_3dgs:
+                    render, mask = load_prerendered(
+                        path, args.num_frames, (args.height, args.width))
+                    yield prepare_vism_sample(
+                        video, prompts.get(name, ""), prerendered=render,
+                        prerendered_mask=mask,
+                        max_num_frames=args.num_frames, rng=rng)
+                else:
+                    pkl = path.replace("videos", "dt3d_render").replace(
+                        ".mp4", "_dt3d_pred.pkl")
+                    with open(pkl, "rb") as f:
+                        data = pickle.load(f)
+                    yield prepare_vism_sample(
+                        video, prompts.get(name, ""),
+                        coords=np.asarray(data["coords"], np.float32),
+                        colors=np.asarray(data["colors"], np.float32),
+                        max_num_frames=args.num_frames, rng=rng)
+            except Exception as e:
+                print(f"skipping {path}: {e}")
+
+    run_training(dit, base_params, vae, vae_params, encoders.encode_text,
+                 samples(), args, encode_clip=encoders.encode_clip)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""The VAE-adaptor and ViSM-LoRA trainer CLIs + VAE roundtrip eval, driven
+end-to-end through their core run functions with tiny models (the same seam
+the STraG harness test uses)."""
+
+import json
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from more4d_tpu.config import VAEConfig, dit_tiny
+from more4d_tpu.data.vism import ViSMSample
+from more4d_tpu.models import WanDiT
+from more4d_tpu.models.adaptors import VAEDecoderAdaptor, VAEEncoderAdaptor
+from more4d_tpu.models.wan_vae import WanVAE
+
+H, W, T = 32, 32, 5
+
+
+@pytest.fixture(scope="module")
+def tiny_vae():
+    cfg = VAEConfig(dim=4, z_dim=4, dim_mult=(1, 1, 2, 2), num_res_blocks=1,
+                    temporal_downsample=(False, True, True))
+    vae = WanVAE(cfg)
+    params = vae.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, T, H, W, 3), jnp.float32))
+    return vae, params
+
+
+@pytest.fixture(scope="module")
+def tiny_adaptors():
+    enc, dec = VAEEncoderAdaptor(), VAEDecoderAdaptor()
+    dummy = jnp.zeros((1, T, H, W, 3), jnp.float32)
+    return (enc, enc.init(jax.random.PRNGKey(1), dummy),
+            dec, dec.init(jax.random.PRNGKey(2), dummy))
+
+
+def test_train_vae_cli_loop(tiny_vae, tiny_adaptors, tmp_path):
+    from train_vae import run_training
+
+    vae, vae_params = tiny_vae
+    enc, enc_params, dec, dec_params = tiny_adaptors
+    args = types.SimpleNamespace(
+        learning_rate=1e-4, kl_scale=1e-6, finetune_vae_decoder=True,
+        rec_loss="l1", output_dir=str(tmp_path / "out"), max_steps=3,
+        checkpointing_steps=3, log_steps=1, seed=0, resume=False)
+
+    rs = np.random.RandomState(0)
+
+    def samples():
+        while True:
+            yield rs.randn(T, H, W, 3).astype(np.float32) * 0.1
+
+    trainable = run_training(vae, vae_params, enc, enc_params, dec,
+                             dec_params, samples(), args)
+    assert "enc" in trainable and "vae_decoder" in trainable
+    lines = [json.loads(l) for l in
+             open(os.path.join(args.output_dir, "metrics.jsonl"))]
+    assert any("train/loss" in l and np.isfinite(l["train/loss"])
+               for l in lines)
+    from more4d_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(args.output_dir)
+    assert mgr.latest_step() == 3
+    mgr.close()
+
+
+def _vism_sample(seed=0, keep=1.0):
+    rs = np.random.RandomState(seed)
+    mask = np.zeros((T, H, W, 3), np.float32)
+    mask[:, : H // 2] = 1.0
+    proj = rs.rand(T, H, W, 3).astype(np.float32) * 2 - 1
+    return ViSMSample(
+        pixel_values=rs.rand(T, H, W, 3).astype(np.float32) * 2 - 1,
+        projected_images=proj, mask=mask,
+        mask_pixel_values=proj * (1 - mask) - mask,
+        clip_image01=rs.rand(H, W, 3).astype(np.float32),
+        text="a room", t2v_keep_flag=keep)
+
+
+def _text_encoder(dim, length):
+    rs = np.random.RandomState(9)
+    vocab = jnp.asarray(rs.randn(32, dim), jnp.float32)
+
+    def encode_text(prompts):
+        out = np.zeros((len(prompts), length, dim), np.float32)
+        for b, p in enumerate(prompts):
+            for i, w in enumerate(p.split()[:length]):
+                out[b, i] = np.asarray(vocab[hash(w) % 32])
+        return jnp.asarray(out)
+
+    return encode_text
+
+
+def test_prepare_vism_batch_t2v_zeroing(tiny_vae):
+    from train_vism import prepare_vism_batch
+
+    vae, vae_params = tiny_vae
+    encode_text = _text_encoder(16, 8)
+    b1 = prepare_vism_batch(_vism_sample(keep=1.0), vae, vae_params,
+                            encode_text, None)
+    b0 = prepare_vism_batch(_vism_sample(keep=0.0), vae, vae_params,
+                            encode_text, None)
+    # 4ch folded mask + z_dim masked-video latents
+    assert b1["y"].shape[-1] == 4 + vae.cfg.z_dim
+    assert b1["latents"].shape == b1["y"].shape[:-1] + (vae.cfg.z_dim,)
+    assert float(jnp.abs(b1["y"]).max()) > 0
+    assert float(jnp.abs(b0["y"]).max()) == 0.0  # t2v_flag zeroing
+
+
+def test_train_vism_cli_loop(tiny_vae, tmp_path):
+    from train_vism import run_training
+
+    vae, vae_params = tiny_vae
+    dcfg = dit_tiny(dtype=jnp.float32, in_dim=12, out_dim=4, dim=32,
+                    ffn_dim=64, num_heads=2, num_layers=2, text_dim=16,
+                    clip_dim=16, text_len=8, motion_guidance=False)
+    dit = WanDiT(dcfg)
+    lt = (T - 1) // 4 + 1
+    base = dit.init(jax.random.PRNGKey(3),
+                    jnp.zeros((1, lt, H // 8, W // 8, 4), jnp.float32),
+                    jnp.zeros((1,), jnp.float32),
+                    jnp.zeros((1, 8, 16), jnp.float32),
+                    y=jnp.zeros((1, lt, H // 8, W // 8, 8), jnp.float32))
+    # randomize (a fresh DiT has a zero-init head, blocking all gradients;
+    # real LoRA training starts from the pretrained InP checkpoint)
+    rs = np.random.RandomState(7)
+    leaves, td = jax.tree_util.tree_flatten(base)
+    base = jax.tree_util.tree_unflatten(
+        td, [jnp.asarray(rs.normal(0, 0.04, l.shape), l.dtype)
+             for l in leaves])
+    args = types.SimpleNamespace(
+        learning_rate=1e-3, lora_rank=2, lora_alpha=2.0,
+        output_dir=str(tmp_path / "out"), max_steps=2,
+        checkpointing_steps=2, log_steps=1, seed=0, resume=False)
+
+    def samples():
+        i = 0
+        while True:
+            yield _vism_sample(i)
+            i += 1
+
+    lora = run_training(dit, base, vae, vae_params, _text_encoder(16, 8),
+                        samples(), args)
+    # LoRA factors moved away from zero-init (up starts at zero)
+    up_norm = sum(float(jnp.abs(f["up"]).sum())
+                  for f in lora["factors"].values())
+    assert up_norm > 0
+    lines = [json.loads(l) for l in
+             open(os.path.join(args.output_dir, "metrics.jsonl"))]
+    assert any("train/loss" in l for l in lines)
+
+
+def test_infer_vae_evaluate(tiny_vae, tiny_adaptors, tmp_path, capsys):
+    from infer_vae import evaluate
+
+    vae, vae_params = tiny_vae
+    enc, enc_params, dec, dec_params = tiny_adaptors
+    args = types.SimpleNamespace(output_dir=str(tmp_path / "eval"),
+                                 max_samples=2)
+    rs = np.random.RandomState(1)
+
+    def samples():
+        for i in range(3):
+            yield f"s{i}", rs.randn(T, H, W, 3).astype(np.float32) * 0.1
+
+    summary = evaluate(vae, vae_params, enc, enc_params, dec, dec_params,
+                       samples(), args)
+    assert summary["extra"]["n"] == 2
+    assert np.isfinite(summary["value"])
+    out = capsys.readouterr().out
+    assert json.loads(out.strip().splitlines()[-1])["unit"] == "mean-EPE"
