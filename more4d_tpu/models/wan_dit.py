@@ -362,9 +362,15 @@ class WanDiT(nn.Module):
         if cfg.scan_blocks:
             block_cls = _ScanBlock
             if cfg.remat:
+                policy = None
+                if cfg.remat_policy == "dots":
+                    # save matmul (MXU) outputs, recompute elementwise —
+                    # the XLA-policy equivalent of partial checkpointing
+                    policy = jax.checkpoint_policies.\
+                        dots_with_no_batch_dims_saveable
                 block_cls = nn.remat(
                     block_cls, prevent_cse=False,
-                    static_argnums=())
+                    static_argnums=(), policy=policy)
             self.block_stack = nn.scan(
                 block_cls,
                 variable_axes={"params": 0},
@@ -374,9 +380,18 @@ class WanDiT(nn.Module):
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )(cfg, name="blocks")
         else:
-            block_cls = nn.remat(WanBlock) if cfg.remat else WanBlock
-            self.block_list = [block_cls(cfg, name=f"blocks_{i}")
-                               for i in range(cfg.num_layers)]
+            # evenly-spaced fraction-p checkpointing (ac_handle.py:16-64):
+            # remat ceil(p * L) blocks at stride L / n_ckpt
+            blocks = []
+            n_ckpt = int(math.ceil(cfg.remat_fraction * cfg.num_layers)) \
+                if cfg.remat else 0
+            stride = cfg.num_layers / max(n_ckpt, 1)
+            ckpt_ids = {int(round(i * stride)) for i in range(n_ckpt)}
+            for i in range(cfg.num_layers):
+                cls = nn.remat(WanBlock) if (cfg.remat and i in ckpt_ids) \
+                    else WanBlock
+                blocks.append(cls(cfg, name=f"blocks_{i}"))
+            self.block_list = blocks
         self.head_mod = Head(cfg, name="head")
 
     # ------------------------------------------------------------------ #

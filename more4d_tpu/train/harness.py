@@ -19,6 +19,14 @@ dataset and the jitted train step:
   (log_validation, train_wan.py:94-153) written via save_videos_grid;
 - JSONL/TensorBoard scalar metrics (train_wan.py:2025);
 - orbax checkpoints carrying sampler position for data-order resume.
+
+Multi-stream VAE/compute overlap (train_wan.py:1609-1615, 1779-1784 uses
+two CUDA streams): under XLA this needs no explicit streams — dispatch is
+asynchronous, so the VAE encodes of batch N+1 (prepare_batch) are enqueued
+while the jitted train step of batch N still executes; the loop only
+blocks on a scalar readback every ``log_steps``. The reference's
+stream-synchronisation machinery therefore collapses into "don't block
+between steps", which the loop below is careful to do.
 """
 
 from __future__ import annotations

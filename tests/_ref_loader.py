@@ -315,9 +315,28 @@ def load_reference_dit(which: str = "wan_transformer4d"):
     sys.modules[f"{pkg_name}.utils"] = utils_pkg
     sys.modules[f"{pkg_name}.models"] = models_pkg
 
+    _fix_stub_specs()
     import importlib
 
     return importlib.import_module(f"{pkg_name}.models.{which}")
+
+
+def _fix_stub_specs():
+    """Give every injected stub a real ModuleSpec: importlib.util.find_spec
+    (used by transformers' optional-dependency probing, e.g. for timm and
+    torchvision) raises ``ValueError: <name>.__spec__ is None`` otherwise —
+    which broke `from transformers import Dinov2Model` in any test run
+    after a golden test had installed the stubs."""
+    import importlib.machinery as mach
+
+    roots = ("diffusers", "timm", "hydra", "torchvision", "refMoRe4D",
+             "easydict", "xfuser")
+    for name, mod in list(sys.modules.items()):
+        if mod is None:
+            continue
+        if name.split(".")[0] in roots and \
+                getattr(mod, "__spec__", "missing") is None:
+            mod.__spec__ = mach.ModuleSpec(name, loader=None)
 
 
 def load_reference_module(relpath: str, name: str):
@@ -325,6 +344,7 @@ def load_reference_module(relpath: str, name: str):
     _install_diffusers_stub()
     if "fm_solvers" in relpath:
         _install_scheduler_stubs()
+    _fix_stub_specs()
     spec = importlib.util.spec_from_file_location(
         name, f"{REFERENCE_ROOT}/{relpath}")
     mod = importlib.util.module_from_spec(spec)

@@ -20,3 +20,23 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# ---- quick/slow tiers -----------------------------------------------------
+# Golden tests rebuild the reference torch models per module and the
+# integration tests run multi-step pipelines — mark them slow so
+# `pytest -m "not slow"` gives a fast signal (full suite stays the default).
+_SLOW_MODULES = {
+    "test_dit_golden", "test_vae_golden", "test_t5_golden",
+    "test_clip_golden", "test_omnimae_golden", "test_xlm_roberta_golden",
+    "test_adaptors_golden", "test_schedulers_golden", "test_unidepth",
+    "test_pipelines", "test_two_stage", "test_train_harness",
+    "test_stage_clis",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
