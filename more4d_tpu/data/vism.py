@@ -42,16 +42,29 @@ def vism_intrinsics(h: int, w: int, h_ori: float = 540.0,
 
 def project_point_cloud(coords: np.ndarray, colors: np.ndarray, h: int,
                         w: int, intrinsic: Optional[np.ndarray] = None,
-                        extrinsic: Optional[np.ndarray] = None
+                        extrinsic: Optional[np.ndarray] = None,
+                        backend: str = "auto"
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """coords [N,3] camera-space, colors [N,3] -> (color_image [H,W,3],
     mask_image [H,W,3] with 1 = hole). Exact z-buffer semantics of
-    wan_dataset.py:433-470: min depth wins, mean color over ties."""
+    wan_dataset.py:433-470: min depth wins, mean color over ties.
+
+    backend 'auto' uses the compiled native core (more4d_tpu/native) when
+    available — ~10x the numpy path for 188k-point frames — falling back
+    to numpy ('numpy' forces the fallback; both are parity-tested)."""
     intrinsic = vism_intrinsics(h, w) if intrinsic is None else intrinsic
     if extrinsic is not None:
         pts = coords @ extrinsic[:3, :3].T + extrinsic[:3, 3]
     else:
         pts = coords
+
+    if backend == "auto":
+        from .. import native
+
+        if native.available():
+            return native.zbuffer_project_native(
+                np.asarray(pts, np.float32),
+                np.asarray(colors, np.float32), h, w, intrinsic)
     depth = pts[:, 2]
     with np.errstate(divide="ignore", invalid="ignore"):
         uv = pts[:, :2] / np.maximum(depth[:, None], 1e-12)

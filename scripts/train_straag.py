@@ -46,6 +46,10 @@ def parse_args():
     p.add_argument("--validation_steps", type=int, default=0)
     p.add_argument("--height", type=int, default=368)
     p.add_argument("--width", type=int, default=512)
+    p.add_argument("--buckets", default=None,
+                   help="comma-separated HxW aspect buckets, e.g. "
+                        "'368x512,416x416,512x368' (default: single "
+                        "canonical shape)")
     p.add_argument("--num_frames", type=int, default=49)
     p.add_argument("--motion_sub_loss", action="store_true")
     p.add_argument("--control_dropout", type=float, default=0.02)
@@ -57,19 +61,41 @@ def parse_args():
 
 
 def make_batch_iterator(files, prompts, sampler, batch_size, height, width,
-                        num_frames):
-    """Group sceneflow samples into fixed-shape batches (the reference's
-    --fix_sample_size path, train_wan.py:1298 — variable bucket shapes are
-    recompiles under XLA, so one canonical shape per run)."""
+                        num_frames, buckets=None):
+    """Group sceneflow samples into batches.
+
+    Default: one fixed canonical shape (the reference's --fix_sample_size
+    path, train_wan.py:1298 — every distinct shape is an XLA recompile).
+    With ``buckets`` (list of (H, W)): samples are resized to the closest
+    bucket by aspect ratio and batches are grouped per bucket
+    (AspectRatioBatchImageVideoSampler semantics, bucket_sampler.py:270) —
+    at most len(buckets) compiled shapes."""
     from more4d_tpu.data.sceneflow import (load_sceneflow_pickle,
                                            prepare_straag_sample)
 
+    pools = {}
+
+    def bucket_for(h, w):
+        if not buckets:
+            return (height, width)
+        ratio = h / w
+        return min(buckets, key=lambda bw: abs(bw[0] / bw[1] - ratio))
+
     def gen():
-        samples, texts = [], []
         for idx in sampler:
             path = files[idx]
             try:
                 coords, colors = load_sceneflow_pickle(path, height, width)
+                bh, bw = bucket_for(*coords.shape[1:3])
+                if coords.shape[1:3] != (bh, bw):
+                    import cv2
+
+                    coords = np.stack([
+                        cv2.resize(c, (bw, bh),
+                                   interpolation=cv2.INTER_LINEAR)
+                        for c in coords])
+                    colors = cv2.resize(colors, (bw, bh),
+                                        interpolation=cv2.INTER_LINEAR)
                 sample = prepare_straag_sample(coords, colors,
                                                max_num_frames=num_frames)
             except Exception as e:  # bad pkl: skip-and-continue (:796-810)
@@ -77,12 +103,14 @@ def make_batch_iterator(files, prompts, sampler, batch_size, height, width,
                 continue
             if sample is None:
                 continue
-            samples.append(sample)
             name = os.path.splitext(os.path.basename(path))[0]
-            texts.append(prompts.get(name, ""))
-            if len(samples) == batch_size:
-                yield samples, texts
-                samples, texts = [], []
+            pool = pools.setdefault((bh, bw), ([], []))
+            pool[0].append(sample)
+            pool[1].append(prompts.get(name, ""))
+            if len(pool[0]) == batch_size:
+                yield pool[0][:], pool[1][:]
+                pool[0].clear()
+                pool[1].clear()
 
     return gen()
 
@@ -163,11 +191,18 @@ def main():
         with open(args.prompts_json) as f:
             prompts = json.load(f)
 
+    buckets = None
+    if args.buckets:
+        buckets = [tuple(int(v) for v in b.split("x"))
+                   for b in args.buckets.split(",")]
     sampler = ResumableSampler(len(files), seed=args.seed)
     batches = make_batch_iterator(files, prompts, iter(sampler),
                                   args.batch_size, args.height, args.width,
-                                  args.num_frames)
-    trainer.train(batches, extra_state=sampler.state_dict,
+                                  args.num_frames, buckets=buckets)
+    from more4d_tpu.data.prefetch import prefetch
+
+    trainer.train(prefetch(batches, depth=2, num_workers=2),
+                  extra_state=sampler.state_dict,
                   restore_state=sampler.load_state_dict)
 
 

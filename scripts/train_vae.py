@@ -165,8 +165,10 @@ def main():
             except Exception as e:  # skip-and-continue
                 print(f"skipping {ds.paths[idx]}: {e}")
 
+    from more4d_tpu.data.prefetch import prefetch
+
     run_training(vae, vae_params, enc, enc_params, dec, dec_params,
-                 samples(), args)
+                 prefetch(samples(), depth=4, num_workers=2), args)
 
 
 if __name__ == "__main__":

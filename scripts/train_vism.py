@@ -195,8 +195,12 @@ def main():
             except Exception as e:
                 print(f"skipping {path}: {e}")
 
+    from more4d_tpu.data.prefetch import prefetch
+
+    # overlap pkl IO + native z-buffer projection with the TPU step
     run_training(dit, base_params, vae, vae_params, encoders.encode_text,
-                 samples(), args, encode_clip=encoders.encode_clip)
+                 prefetch(samples(), depth=4, num_workers=2), args,
+                 encode_clip=encoders.encode_clip)
 
 
 if __name__ == "__main__":

@@ -261,3 +261,32 @@ def test_cli_batch_iterator(tmp_path):
     assert texts[0].startswith("p")
     samples2, _ = next(it)  # consumes the corrupt file without raising
     assert len(samples2) == 2
+
+
+def test_cli_batch_iterator_buckets(tmp_path):
+    """Bucket mode resizes to the closest aspect bucket and groups batches
+    per bucket (one compiled shape per bucket)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from train_straag import make_batch_iterator
+
+    rs = np.random.RandomState(0)
+    # two square pkls (native 4D dims HxW) + two wide ones (H/2 x 2W)
+    dims = [(H, W), (H, W), (H // 2, W * 2), (H // 2, W * 2)]
+    for i, (sh, sw) in enumerate(dims):
+        coords = rs.rand(T, sh, sw, 3).astype(np.float32)
+        colors = (rs.rand(sh, sw, 3) * 255).astype(np.float32)
+        with open(tmp_path / f"c{i}_dt3d_pred.pkl", "wb") as f:
+            pickle.dump({"coords": coords, "colors": colors}, f)
+    files = sorted(glob.glob(str(tmp_path / "*_dt3d_pred.pkl")))
+    buckets = [(16, 64), (H, W)]
+    it = make_batch_iterator(files, {}, iter(range(4)), batch_size=2,
+                             height=H, width=W, num_frames=T,
+                             buckets=buckets)
+    batch1 = next(it)
+    batch2 = next(it)
+    shapes = sorted([batch1[0][0].flow.shape, batch2[0][0].flow.shape])
+    # square sources -> (H, W) bucket; wide sources -> (16, 64) bucket,
+    # each batch homogeneous
+    assert shapes == [(T, 16, 64, 3), (T, H, W, 3)]
+    assert batch1[0][0].flow.shape == batch1[0][1].flow.shape
