@@ -307,6 +307,131 @@ def bench_two_stage():
     }))
 
 
+def bench_train():
+    """1.3B training-step throughput at the reference operating point
+    (49f/368x512, bs=1, full fine-tune, remat, Pallas flash fwd+bwd,
+    AdamW). MFU counted at 3x forward FLOPs (fwd + 2x bwd)."""
+    import optax
+
+    from more4d_tpu.config import dit_1_3b
+    from more4d_tpu.models import WanDiT
+    from more4d_tpu.train.train_straag import (StraagTrainConfig,
+                                               make_train_step)
+    from more4d_tpu.utils.flops import detect_tpu_peak, dit_forward_flops
+
+    frames, height, width = 49, 368, 512
+    lt, lh, lw = (frames - 1) // 4 + 1, height // 8, width // 8
+    cfg = dit_1_3b(motion_guidance=True, in_dim=64, model_type="i2v",
+                   dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                   remat=True, remat_policy="nothing")
+    dit = WanDiT(cfg)
+    mk = lambda *s: jnp.zeros(s, jnp.bfloat16)  # noqa: E731
+    batch = {
+        "latents": mk(1, lt, lh, lw, 16).astype(jnp.float32),
+        "y": mk(1, lt, lh, lw, 48),
+        "context": mk(1, cfg.text_len, cfg.text_dim).astype(jnp.float32),
+        "clip_fea": mk(1, cfg.clip_tokens, cfg.clip_dim),
+        "mpm_features": mk(1, 196, cfg.motion_feature_dim),
+    }
+    params = jax.jit(dit.init)(
+        jax.random.PRNGKey(0), batch["latents"], jnp.zeros((1,)),
+        batch["context"], y=batch["y"], clip_fea=batch["clip_fea"],
+        mpm_features=batch["mpm_features"])
+    tx = optax.adamw(2e-5)
+    opt_state = tx.init(params)
+    tcfg = StraagTrainConfig(world_size=1, use_ema=False)
+    step = jax.jit(make_train_step(dit, tx, tcfg))
+    ema = None
+    rng = jax.random.PRNGKey(1)
+
+    def run():
+        nonlocal params, opt_state, ema
+        t0 = time.perf_counter()
+        params, opt_state, ema, m = step(params, opt_state, ema, batch,
+                                         rng, 10)
+        _ = float(m["loss"])  # fence
+        return time.perf_counter() - t0
+
+    run()  # compile
+    dt = min(run() for _ in range(3))
+    tokens = lt * (lh // 2) * (lw // 2)
+    flops = 3 * dit_forward_flops(cfg, tokens, batch=1)
+    peak = detect_tpu_peak()
+    print(json.dumps({
+        "metric": "dit_train_steps_per_sec_per_chip[1.3b,49f,368x512,bs1]",
+        "value": round(1.0 / dt, 4),
+        "unit": "steps/s",
+        "vs_baseline": 1.0,
+        "extra": {"step_ms": round(dt * 1e3, 1),
+                  "tflops_per_s": round(flops / dt / 1e12, 1),
+                  "mfu_3x_fwd": round(flops / dt / peak, 4)},
+    }))
+
+
+def bench_teacache():
+    """Inference throughput with the reference's own acceleration knobs
+    (TeaCache thresh 0.10 + 5 warm steps, cfg-skip 0.15; infer.py:1044-1048)
+    through the jitted pipeline denoise loop, vs the plain loop. Random
+    1.3B weights — the TeaCache decision depends on the timestep-embedding
+    trajectory, which is weight-scale-, not data-, driven."""
+    from more4d_tpu.config import PipelineConfig, VAEConfig, dit_1_3b
+    from more4d_tpu.models import WanDiT
+    from more4d_tpu.models.wan_vae import WanVAE
+    from more4d_tpu.pipelines import (TeaCacheConfig, TEACACHE_COEFFICIENTS,
+                                      WanControlPipeline)
+
+    frames, height, width, steps = 49, 368, 512, 50
+    cfg = dit_1_3b(motion_guidance=True, in_dim=64, model_type="i2v",
+                   dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    dit = WanDiT(cfg)
+    vae = WanVAE(VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16))
+    lt, lh, lw = (frames - 1) // 4 + 1, height // 8, width // 8
+    mk = lambda *s: jnp.zeros(s, jnp.bfloat16)  # noqa: E731
+    params = jax.jit(dit.init)(
+        jax.random.PRNGKey(0), mk(1, lt, lh, lw, 16), jnp.zeros((1,)),
+        mk(1, cfg.text_len, cfg.text_dim), y=mk(1, lt, lh, lw, 48),
+        clip_fea=mk(1, cfg.clip_tokens, cfg.clip_dim),
+        mpm_features=mk(1, 196, cfg.motion_feature_dim))
+    prompt = mk(1, cfg.text_len, cfg.text_dim).astype(jnp.float32)
+    y = mk(1, lt, lh, lw, 48).astype(jnp.float32)
+    clip = mk(1, cfg.clip_tokens, cfg.clip_dim)
+    mpm = mk(1, 196, cfg.motion_feature_dim)
+    latents = jax.random.normal(jax.random.PRNGKey(1),
+                                (1, lt, lh, lw, 16), jnp.float32)
+
+    def time_pipe(pipe):
+        def run():
+            t0 = time.perf_counter()
+            out = pipe.denoise(params, latents, prompt, neg_embeds=prompt,
+                               y=y, clip_fea=clip, mpm_features=mpm)
+            _ = float(jnp.sum(jnp.abs(out).astype(jnp.float32)))
+            return time.perf_counter() - t0
+
+        run()
+        return min(run() for _ in range(2))
+
+    pcfg = PipelineConfig(num_inference_steps=steps, num_frames=frames,
+                          height=height, width=width)
+    plain = time_pipe(WanControlPipeline(dit, vae, pcfg))
+    tc = TeaCacheConfig(
+        coefficients=tuple(TEACACHE_COEFFICIENTS["wan2.1-fun-1.3b"]
+                           if "wan2.1-fun-1.3b" in TEACACHE_COEFFICIENTS
+                           else list(TEACACHE_COEFFICIENTS.values())[0]),
+        rel_l1_thresh=0.10, num_skip_start_steps=5)
+    pcfg_fast = PipelineConfig(num_inference_steps=steps, num_frames=frames,
+                               height=height, width=width,
+                               cfg_skip_ratio=0.15)
+    fast = time_pipe(WanControlPipeline(dit, vae, pcfg_fast, teacache=tc))
+    print(json.dumps({
+        "metric": "denoise50_seconds[1.3b,teacache0.10+cfgskip0.15]",
+        "value": round(fast, 2),
+        "unit": "s",
+        "vs_baseline": round(plain / max(fast, 1e-9), 3),
+        "extra": {"plain_s": round(plain, 2), "accelerated_s": round(fast, 2),
+                  "speedup": round(plain / max(fast, 1e-9), 3)},
+    }))
+
+
 def main():
     cache_dir = os.environ.get("MORE4D_COMPILE_CACHE",
                                "/root/.cache/more4d_jax")
@@ -319,6 +444,10 @@ def main():
     mode = os.environ.get("MORE4D_BENCH_MODE", "denoise")
     if mode == "two_stage":
         bench_two_stage()
+    elif mode == "train":
+        bench_train()
+    elif mode == "teacache":
+        bench_teacache()
     else:
         bench_denoise()
 

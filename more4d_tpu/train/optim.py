@@ -132,3 +132,109 @@ class LossOutlierTracker:
         if len(self.values) > self.window:
             self.values.pop(0)
         return False
+
+
+# --------------------------------------------------------------------------
+# CAME optimizer (Luo et al. 2023) — the reference's optional --use_came
+# path (train_wan.py:1129-1136: betas (0.9, 0.999, 0.9999),
+# eps (1e-30, 1e-16)). Adafactor-style factored second moments plus a
+# confidence-guided (instability-factored) rescaling of the first moment.
+# Memory: O(n) first moment + O(rows+cols) factored statistics.
+# --------------------------------------------------------------------------
+
+
+def _factored_dims(shape):
+    return len(shape) >= 2
+
+
+def _row_col_update(stat_r, stat_c, sq, beta):
+    """EMA the row/col means of ``sq`` over the last two axes."""
+    new_r = beta * stat_r + (1 - beta) * jnp.mean(sq, axis=-1)
+    new_c = beta * stat_c + (1 - beta) * jnp.mean(sq, axis=-2)
+    return new_r, new_c
+
+
+def _factored_rsqrt(stat_r, stat_c):
+    """Reconstruct 1/sqrt(v) from factored stats (Adafactor eq. 4)."""
+    r = stat_r / jnp.maximum(
+        jnp.mean(stat_r, axis=-1, keepdims=True), 1e-30)
+    return jax.lax.rsqrt(
+        jnp.maximum(r[..., None] * stat_c[..., None, :], 1e-30))
+
+
+def came(learning_rate: float, betas=(0.9, 0.999, 0.9999),
+         eps=(1e-30, 1e-16), weight_decay: float = 1e-2,
+         clip_threshold: float = 1.0) -> optax.GradientTransformation:
+    """CAME as an optax transformation.
+
+    Per step (matrices factored over the last two dims, vectors full):
+      u   = g / sqrt(EMA_b2[g^2] + eps1)
+      u   = u / max(1, RMS(u)/clip_threshold)
+      m   = b1 m + (1-b1) u
+      r   = EMA_b3[(u - m)^2 + eps2]            (confidence / instability)
+      upd = m / sqrt(r)
+    """
+    b1, b2, b3 = betas
+    eps1, eps2 = eps
+
+    def init(params):
+        def leaf(p):
+            state = {"m": jnp.zeros_like(p)}
+            if _factored_dims(p.shape):
+                state["v_r"] = jnp.zeros(p.shape[:-1], p.dtype)
+                state["v_c"] = jnp.zeros(p.shape[:-2] + p.shape[-1:],
+                                         p.dtype)
+                state["r_r"] = jnp.zeros(p.shape[:-1], p.dtype)
+                state["r_c"] = jnp.zeros(p.shape[:-2] + p.shape[-1:],
+                                         p.dtype)
+            else:
+                state["v"] = jnp.zeros_like(p)
+                state["r"] = jnp.zeros_like(p)
+            return state
+
+        return {"count": jnp.zeros((), jnp.int32),
+                "leaves": jax.tree_util.tree_map(leaf, params)}
+
+    def update(grads, state, params=None):
+        assert params is not None, "came() needs params (weight decay)"
+        count = state["count"] + 1
+
+        def leaf(g, s, p):
+            g = g.astype(jnp.float32)
+            sq = g * g + eps1
+            out = dict(s)
+            if _factored_dims(g.shape):
+                out["v_r"], out["v_c"] = _row_col_update(
+                    s["v_r"], s["v_c"], sq, b2)
+                u = g * _factored_rsqrt(out["v_r"], out["v_c"])
+            else:
+                out["v"] = b2 * s["v"] + (1 - b2) * sq
+                u = g * jax.lax.rsqrt(jnp.maximum(out["v"], 1e-30))
+            rms = jnp.sqrt(jnp.mean(u * u) + 1e-30)
+            u = u / jnp.maximum(1.0, rms / clip_threshold)
+            m = b1 * s["m"] + (1 - b1) * u
+            out["m"] = m
+            inst = (u - m) ** 2 + eps2
+            if _factored_dims(g.shape):
+                out["r_r"], out["r_c"] = _row_col_update(
+                    s["r_r"], s["r_c"], inst, b3)
+                upd = m * _factored_rsqrt(out["r_r"], out["r_c"])
+            else:
+                out["r"] = b3 * s["r"] + (1 - b3) * inst
+                upd = m * jax.lax.rsqrt(jnp.maximum(out["r"], 1e-30))
+            if weight_decay:
+                upd = upd + weight_decay * p.astype(jnp.float32)
+            return (-learning_rate * upd).astype(g.dtype), out
+
+        g_leaves, treedef = jax.tree_util.tree_flatten(grads)
+        s_leaves = treedef.flatten_up_to(state["leaves"])
+        p_leaves = treedef.flatten_up_to(params)
+        pairs = [leaf(g, s, p)
+                 for g, s, p in zip(g_leaves, s_leaves, p_leaves)]
+        updates = jax.tree_util.tree_unflatten(
+            treedef, [u for u, _ in pairs])
+        leaves = jax.tree_util.tree_unflatten(
+            treedef, [s for _, s in pairs])
+        return updates, {"count": count, "leaves": leaves}
+
+    return optax.GradientTransformation(init, update)

@@ -63,6 +63,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=43)
     p.add_argument("--fsdp", action="store_true",
                    help="shard the 14B params over all local devices")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel degree (Ulysses all-to-all "
+                        "attention over the mesh seq axis — the "
+                        "enable_multi_gpus_inference equivalent)")
     p.add_argument("--model_size", default="14b", choices=["14b", "1.3b"])
     return p.parse_args()
 
@@ -120,11 +124,14 @@ def main():
         torch.load(args.decoder_adaptor, map_location="cpu",
                    weights_only=True), decoder=True)
 
-    if args.fsdp:
-        from more4d_tpu.parallel import create_mesh, shard_params
-        mesh = create_mesh()
+    if args.fsdp or args.sp > 1:
+        from more4d_tpu.parallel import (MeshConfig, create_mesh, set_mesh,
+                                         shard_params)
+        mesh = create_mesh(MeshConfig(data=1, fsdp=-1, seq=args.sp))
         p4 = shard_params(p4, mesh)
         p_inp = shard_params(p_inp, mesh)
+        if args.sp > 1:
+            set_mesh(mesh)   # routes DiT self-attention through Ulysses
 
     pcfg = PipelineConfig(
         num_inference_steps=args.num_inference_steps,

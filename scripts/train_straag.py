@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=1,
                    help="per-step batch; sharded over the mesh data axis")
     p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "came"],
+                   help="came = the reference's --use_came path")
     p.add_argument("--max_grad_norm", type=float, default=0.05)
     p.add_argument("--max_steps", type=int, default=10000)
     p.add_argument("--checkpointing_steps", type=int, default=500)
@@ -175,11 +178,16 @@ def main():
                               num_inference_steps=20)
         validation_pipeline = WanControlPipeline(dit, vae, pcfg)
 
+    tx = None
+    if args.optimizer == "came":
+        from more4d_tpu.train import came
+
+        tx = came(args.learning_rate)
     trainer = StraagTrainer(
         dit, params, vae, vae_params, enc, enc_params,
         encode_text=encoders.encode_text, mesh=mesh, tcfg=tcfg,
         run_cfg=rcfg, encode_clip=encoders.encode_clip,
-        extract_mpm=encoders.extract_mpm,
+        extract_mpm=encoders.extract_mpm, tx=tx,
         validation_pipeline=validation_pipeline)
 
     files = sorted(glob.glob(os.path.join(args.data_dir,

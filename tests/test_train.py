@@ -190,3 +190,50 @@ def test_vae_adaptor_step_decreases_loss():
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_came_optimizer_converges_and_is_factored():
+    """CAME (train_wan.py:1129-1136 --use_came): converges on a quadratic;
+    matrix params carry factored O(rows+cols) statistics."""
+    from more4d_tpu.train import came
+
+    rs = np.random.RandomState(0)
+    target = jnp.asarray(rs.randn(16, 32), jnp.float32)
+    params = {"w": jnp.zeros((16, 32), jnp.float32),
+              "b": jnp.zeros((32,), jnp.float32)}
+    tx = came(5e-2, weight_decay=0.0)
+    state = tx.init(params)
+    # factored stats for the matrix, full for the vector
+    assert state["leaves"]["w"]["v_r"].shape == (16,)
+    assert state["leaves"]["w"]["v_c"].shape == (32,)
+    assert "v" in state["leaves"]["b"]
+
+    def loss_fn(p):
+        return jnp.mean((p["w"] - target) ** 2) + jnp.mean(p["b"] ** 2)
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        upd, s = tx.update(g, s, p)
+        return optax.apply_updates(p, upd), s, loss
+
+    first = None
+    for i in range(300):
+        params, state, loss = step(params, state)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.05 * first, (first, float(loss))
+
+
+def test_came_on_scan_stacked_kernels():
+    """3D [layers, in, out] stacks factor over the last two dims."""
+    from more4d_tpu.train import came
+
+    p = {"k": jnp.ones((4, 8, 16), jnp.float32)}
+    tx = came(1e-3)
+    s = tx.init(p)
+    assert s["leaves"]["k"]["v_r"].shape == (4, 8)
+    assert s["leaves"]["k"]["v_c"].shape == (4, 16)
+    g = {"k": jnp.ones((4, 8, 16), jnp.float32)}
+    upd, s = tx.update(g, s, p)
+    assert np.isfinite(np.asarray(upd["k"])).all()
