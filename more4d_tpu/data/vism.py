@@ -29,9 +29,13 @@ import numpy as np
 
 def vism_intrinsics(h: int, w: int, h_ori: float = 540.0,
                     w_ori: float = 960.0) -> np.ndarray:
-    """Normalized pinhole intrinsics (wan_dataset.py:406-431): fx/fy chosen
-    so the source aspect (540x960 reference) maps into the target frame."""
-    if h_ori / w_ori > h / w:
+    """Normalized pinhole intrinsics (wan_dataset.py:412-423): fx/fy chosen
+    so the source aspect (540x960 reference) maps into the target frame.
+
+    Reference condition is W_ori/W > H_ori/H -> fx = 1 (the width axis is
+    the tighter fit); at the 540x960 -> 368x512 default this gives
+    (fx, fy) = (1, 1.2784)."""
+    if w_ori / w > h_ori / h:
         fx = 1.0
         fy = (w_ori / h_ori) / (w / h)
     else:
@@ -106,9 +110,15 @@ def project_point_cloud(coords: np.ndarray, colors: np.ndarray, h: int,
 
 
 def sample_frame_indices(n_available: int, max_num_frames: int):
-    """Stride-2 sampling beyond the budget, else all (:522-527)."""
+    """Stride-2 sampling beyond the budget, else all (:522-527).
+
+    Indices are clamped to n_available-1: for max < n < 2*max the raw
+    stride-2 range would index past the clip (the reference's decord
+    get_batch tolerates this silently; a numpy fancy-index would raise), so
+    out-of-range picks repeat the last frame instead."""
     if n_available > max_num_frames:
-        return list(range(0, max_num_frames * 2, 2))[:max_num_frames]
+        idx = list(range(0, max_num_frames * 2, 2))[:max_num_frames]
+        return [min(i, n_available - 1) for i in idx]
     return list(range(n_available))
 
 

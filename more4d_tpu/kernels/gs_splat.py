@@ -76,11 +76,21 @@ def _tile_records(points, colors, extrinsic, intrinsic, height, width,
     tile_ids = jnp.concatenate(cand)                       # [4N]
     rep = lambda a: jnp.tile(a, 4)                          # noqa: E731
 
+    # depth bits sized so (num_tiles sentinel) << bits never overflows
+    # int32: the packed key's tile field needs bit_length(num_tiles) bits,
+    # leaving 31 - that for quantized depth (at 368x512 -> 20 bits; at
+    # 720x1280/3600 tiles -> 19). Below 10 usable bits (≳2M tiles) fall
+    # back to two stable sorts, which need no packing at all.
+    depth_bits = min(DEPTH_BITS, 31 - int(num_tiles).bit_length())
     dmax = jnp.maximum(jnp.max(jnp.where(valid, depth, 0.0)), 1e-6)
-    dq = jnp.clip(depth / dmax * (2 ** DEPTH_BITS - 2), 0,
-                  2 ** DEPTH_BITS - 2).astype(jnp.int32)
-    key = tile_ids * (2 ** DEPTH_BITS) + rep(dq)
-    order = jnp.argsort(key)
+    if depth_bits >= 10:
+        dq = jnp.clip(depth / dmax * (2 ** depth_bits - 2), 0,
+                      2 ** depth_bits - 2).astype(jnp.int32)
+        key = tile_ids * (2 ** depth_bits) + rep(dq)
+        order = jnp.argsort(key)
+    else:
+        by_depth = jnp.argsort(rep(depth))            # stable (jnp default)
+        order = by_depth[jnp.argsort(tile_ids[by_depth])]
     sorted_tiles = tile_ids[order]
     src = order % n                                         # original point
 

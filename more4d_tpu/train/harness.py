@@ -76,8 +76,6 @@ class StraagTrainer:
                  tx=None, validation_pipeline=None):
         import optax
 
-        from ..models.wan_vae import WanVAE
-
         self.dit, self.vae = dit, vae
         self.vae_params = vae_params
         self.enc, self.enc_params = encoder_adaptor, encoder_adaptor_params
@@ -97,9 +95,14 @@ class StraagTrainer:
             fsdp_sharding(self.opt_state, mesh))
         self.ema = jax.tree_util.tree_map(lambda x: x, self.params) \
             if tcfg.use_ema else None
+        from ..models.vae_streaming import encode_streamed
+
         self.step_fn = jax.jit(make_train_step(dit, self.tx, tcfg))
+        # streamed (lax.scan) encode, matching pipelines/base.py and
+        # train_vism: the fused full-sequence encoder materialises ~2 GB
+        # activations per layer at 49f 368x512 and OOMs a 16 GiB chip
         self._encode = jax.jit(
-            lambda vp, x: vae.apply(vp, x, method=WanVAE.encode)[0])
+            lambda vp, x: encode_streamed(vae, vp, x)[0])
         self.rng = np.random.RandomState(run_cfg.seed)
         self.key = jax.random.PRNGKey(run_cfg.seed)
         self.global_step = 0

@@ -172,7 +172,9 @@ def came(learning_rate: float, betas=(0.9, 0.999, 0.9999),
       u   = u / max(1, RMS(u)/clip_threshold)
       m   = b1 m + (1-b1) u
       r   = EMA_b3[(u - m)^2 + eps2]            (confidence / instability)
-      upd = m / sqrt(r)
+      upd = m / sqrt(r)                          (factored tensors only;
+                                                  1-D tensors use upd = m,
+                                                  as in official CAME)
     """
     b1, b2, b3 = betas
     eps1, eps2 = eps
@@ -188,8 +190,9 @@ def came(learning_rate: float, betas=(0.9, 0.999, 0.9999),
                 state["r_c"] = jnp.zeros(p.shape[:-2] + p.shape[-1:],
                                          p.dtype)
             else:
+                # official CAME keeps no instability stats for non-factored
+                # (1-D) tensors — their update is the first moment directly
                 state["v"] = jnp.zeros_like(p)
-                state["r"] = jnp.zeros_like(p)
             return state
 
         return {"count": jnp.zeros((), jnp.int32),
@@ -214,14 +217,14 @@ def came(learning_rate: float, betas=(0.9, 0.999, 0.9999),
             u = u / jnp.maximum(1.0, rms / clip_threshold)
             m = b1 * s["m"] + (1 - b1) * u
             out["m"] = m
-            inst = (u - m) ** 2 + eps2
             if _factored_dims(g.shape):
+                inst = (u - m) ** 2 + eps2
                 out["r_r"], out["r_c"] = _row_col_update(
                     s["r_r"], s["r_c"], inst, b3)
                 upd = m * _factored_rsqrt(out["r_r"], out["r_c"])
             else:
-                out["r"] = b3 * s["r"] + (1 - b3) * inst
-                upd = m * jax.lax.rsqrt(jnp.maximum(out["r"], 1e-30))
+                # non-factored branch of official CAME: update = exp_avg
+                upd = m
             if weight_decay:
                 upd = upd + weight_decay * p.astype(jnp.float32)
             return (-learning_rate * upd).astype(g.dtype), out

@@ -106,6 +106,43 @@ def test_tiled_video_matches_per_frame():
                                atol=1e-5)
 
 
+def test_tile_records_no_int32_overflow_at_720p():
+    """Regression: at 720x1280 (3600 tiles) the packed (tile, depth) sort
+    key used to overflow int32 via the tid=num_tiles sentinel, corrupting
+    the tile sort. Verify the per-tile records are depth-sorted and land in
+    the right tiles."""
+    from more4d_tpu.kernels.gs_splat import TILE, _tile_records
+
+    h, w = 720, 1280
+    rs = np.random.RandomState(3)
+    n = 2000
+    pts = np.stack([rs.uniform(-0.6, 0.6, n), rs.uniform(-0.45, 0.45, n),
+                    rs.uniform(1.0, 4.0, n)], -1).astype(np.float32)
+    cols = rs.rand(n, 3).astype(np.float32)
+    ext = jnp.eye(4)
+    intr = jnp.asarray(get_intrinsic_matrix(h, w), jnp.float32)
+    ru, rv, rsig, ro, rc, (ty, tx) = _tile_records(
+        jnp.asarray(pts), jnp.asarray(cols), ext, intr, h, w,
+        scale=1e-2, opacity=None, max_per_tile=64)
+    assert ty * tx == 3600
+    ru, rv, ro = map(np.asarray, (ru, rv, ro))
+    occupied = (ro[:, 0] > 0)
+    assert occupied.any()
+    # every record's pixel position must lie within (or hugging) its tile
+    rsig = np.asarray(rsig)
+    tids = np.nonzero(occupied.any(axis=1))[0]
+    for t in tids[:50]:
+        k = occupied[t]
+        ux, vy = ru[t, 0][k], rv[t, 0][k]
+        tx_i, ty_i = t % tx, t // tx
+        assert (np.abs(ux - (tx_i * TILE + TILE / 2)) <= 1.5 * TILE).all()
+        assert (np.abs(vy - (ty_i * TILE + TILE / 2)) <= 1.5 * TILE).all()
+        # front-to-back: sigma = scale*fx/depth decreases with depth, so
+        # records must be sigma-non-increasing (up to quantization ties)
+        sig = rsig[t, 0][k]
+        assert (np.diff(sig) <= 1e-3).all(), sig
+
+
 def test_tiled_max_per_tile_drops_farthest():
     """Overflow beyond max_per_tile drops only the farthest (occluded)
     points — the image of the near surface is unchanged."""

@@ -207,6 +207,9 @@ def test_came_optimizer_converges_and_is_factored():
     assert state["leaves"]["w"]["v_r"].shape == (16,)
     assert state["leaves"]["w"]["v_c"].shape == (32,)
     assert "v" in state["leaves"]["b"]
+    # official CAME: no instability stats for non-factored tensors
+    # (their update is the first moment directly)
+    assert "r" not in state["leaves"]["b"]
 
     def loss_fn(p):
         return jnp.mean((p["w"] - target) ** 2) + jnp.mean(p["b"] ** 2)

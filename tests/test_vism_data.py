@@ -75,9 +75,32 @@ def test_projection_empty_and_behind():
     assert (c == 0).all() and (m == 1).all()
 
 
+def test_vism_intrinsics_reference_values():
+    """Hand-computed against wan_dataset.py:412-423 (the branch selects on
+    W_ori/W > H_ori/H). At the 540x960 -> 368x512 default the width axis is
+    tighter, so fx = 1 and fy = (960/540)/(512/368) = 1.27836..."""
+    intr = vism_intrinsics(368, 512)
+    assert intr[0, 0] == pytest.approx(1.0)
+    assert intr[1, 1] == pytest.approx((960.0 / 540.0) / (512.0 / 368.0))
+    # opposite branch: target much wider than source -> fy = 1
+    intr2 = vism_intrinsics(512, 2048)
+    assert intr2[1, 1] == pytest.approx(1.0)
+    assert intr2[0, 0] == pytest.approx((540.0 / 960.0) / (512.0 / 2048.0))
+    # square source into square target -> identity-ish (both branches agree)
+    intr3 = vism_intrinsics(512, 512, h_ori=512, w_ori=512)
+    assert intr3[0, 0] == pytest.approx(1.0)
+    assert intr3[1, 1] == pytest.approx(1.0)
+
+
 def test_frame_sampling_and_padding():
     assert sample_frame_indices(100, 49) == list(range(0, 98, 2))
     assert sample_frame_indices(10, 49) == list(range(10))
+    # max < n < 2*max: raw stride-2 indices would run past the clip; they
+    # are clamped to the last frame instead of raising
+    idx = sample_frame_indices(60, 49)
+    assert len(idx) == 49 and max(idx) == 59
+    assert idx[:30] == list(range(0, 60, 2))
+    assert all(i == 59 for i in idx[30:])
     f = np.arange(5)[:, None, None, None] * np.ones((5, 2, 2, 3))
     padded = pad_frames(f, 8)
     assert padded.shape[0] == 8
