@@ -77,18 +77,71 @@ def _block(sd, key, cfg: DiTConfig):
         out["norm3"] = _ln_affine(sd, key + ".norm3")
     if cfg.motion_guidance:
         for n in ("spatial_guidance_self", "spatial_guidance_ffn"):
-            out[n] = {
-                "spatial_guide": _dense(sd, f"{key}.{n}.spatial_guide.1"),
-                "gate": _np(sd[f"{key}.{n}.gate"]),
-            }
+            if f"{key}.{n}.spatial_guide.1.weight" in sd:
+                out[n] = {
+                    "spatial_guide": _dense(sd, f"{key}.{n}.spatial_guide.1"),
+                    "gate": _np(sd[f"{key}.{n}.gate"]),
+                }
+            else:
+                # Fresh 4D additions absent from a released 3D Control
+                # checkpoint: the reference fresh-inits the FiLM module to
+                # exact zeros (SpatialGuidanceModule.__init__,
+                # wan_transformer4d.py:749-756: zero spatial_guide weight +
+                # bias, zero gate -> identity FiLM), then load_state_dict
+                # strict=False leaves it (train_wan.py:824-859).
+                fd, d = cfg.motion_feature_dim, cfg.dim
+                out[n] = {
+                    "spatial_guide": {
+                        "kernel": np.zeros((fd, 2 * d), np.float32),
+                        "bias": np.zeros((2 * d,), np.float32)},
+                    "gate": np.zeros((d,), np.float32),
+                }
     return out
 
 
-def convert_dit_state_dict(sd, cfg: DiTConfig):
-    """sd: torch-key -> tensor mapping; returns flax params pytree."""
+def _xavier_conv(rs: np.random.RandomState, kh, kw, cin, cout):
+    """torch/flax xavier_uniform for a conv kernel in HWIO layout — the
+    reference model's fresh init for feature_adapter/ref_conv (Conv default
+    plus from_pretrained strict=False, wan_transformer4d.py:886-893)."""
+    fan_in, fan_out = kh * kw * cin, kh * kw * cout
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return {"kernel": rs.uniform(-limit, limit,
+                                 (kh, kw, cin, cout)).astype(np.float32),
+            "bias": np.zeros((cout,), np.float32)}
+
+
+def _patch_embed_surgery(pe: dict, cfg: DiTConfig) -> dict:
+    """48->64ch patch-embed input-channel surgery (train_wan.py:824-859,
+    wan_transformer4d.py:1505-1512): loading a released Wan2.1-Fun-Control
+    checkpoint (in 48ch) into the 4D config (in_dim 64, 16 extra depth
+    channels) zero-pads the new input channels; a larger checkpoint is
+    truncated. kernel layout here is (d, h, w, in, out)."""
+    w = pe["kernel"]
+    cin = w.shape[3]
+    if cin == cfg.in_dim:
+        return pe
+    if cin < cfg.in_dim:
+        pad = np.zeros(w.shape[:3] + (cfg.in_dim - cin,) + w.shape[4:],
+                       w.dtype)
+        w = np.concatenate([w, pad], axis=3)
+    else:
+        w = w[:, :, :, :cfg.in_dim]
+    return {"kernel": w, "bias": pe["bias"]}
+
+
+def convert_dit_state_dict(sd, cfg: DiTConfig, seed: int = 0):
+    """sd: torch-key -> tensor mapping; returns flax params pytree.
+
+    Handles checkpoint surgery for training-from-release (the reference's
+    core workflow): a 48ch Control state dict loads into an in_dim=64
+    config via zero-padded patch embedding, and 4D additions absent from
+    the checkpoint (spatial_guidance_*, feature_adapter, ref_conv) are
+    fresh-initialised with reference semantics (zero FiLM; xavier convs,
+    seeded by ``seed``)."""
     sd = {k: v for k, v in sd.items()}
     params = {
-        "patch_embedding": _conv3d(sd, "patch_embedding"),
+        "patch_embedding": _patch_embed_surgery(
+            _conv3d(sd, "patch_embedding"), cfg),
         "text_fc1": _dense(sd, "text_embedding.0"),
         "text_fc2": _dense(sd, "text_embedding.2"),
         "time_fc1": _dense(sd, "time_embedding.0"),
@@ -104,11 +157,22 @@ def convert_dit_state_dict(sd, cfg: DiTConfig):
         params["img_fc1"] = _dense(sd, "img_emb.proj.1")
         params["img_fc2"] = _dense(sd, "img_emb.proj.3")
         params["img_ln_out"] = _ln(sd, "img_emb.proj.4")
-    if cfg.ref_conv and "ref_conv.weight" in sd:
-        params["ref_conv_layer"] = _conv2d(sd, "ref_conv")
-    if cfg.motion_guidance and "feature_adapter.0.weight" in sd:
-        params["feature_adapter_1"] = _conv2d(sd, "feature_adapter.0")
-        params["feature_adapter_2"] = _conv2d(sd, "feature_adapter.2")
+    rs = np.random.RandomState(seed)
+    if cfg.ref_conv:
+        if "ref_conv.weight" in sd:
+            params["ref_conv_layer"] = _conv2d(sd, "ref_conv")
+        else:
+            params["ref_conv_layer"] = _xavier_conv(
+                rs, cfg.patch_size[1], cfg.patch_size[2],
+                cfg.ref_conv_dim, cfg.dim)
+    if cfg.motion_guidance:
+        if "feature_adapter.0.weight" in sd:
+            params["feature_adapter_1"] = _conv2d(sd, "feature_adapter.0")
+            params["feature_adapter_2"] = _conv2d(sd, "feature_adapter.2")
+        else:
+            fd = cfg.motion_feature_dim
+            params["feature_adapter_1"] = _xavier_conv(rs, 3, 3, fd, fd)
+            params["feature_adapter_2"] = _xavier_conv(rs, 3, 3, fd, fd)
 
     blocks = [_block(sd, f"blocks.{i}", cfg) for i in range(cfg.num_layers)]
     if cfg.scan_blocks:

@@ -108,12 +108,21 @@ def build_encoders(t5_ckpt: Optional[str] = None,
                    clip_ckpt: Optional[str] = None,
                    omnimae_ckpt: Optional[str] = None,
                    text_dim: int = 4096, text_len: int = 512,
-                   jit: bool = True) -> ConditioningEncoders:
-    """Assemble the bundle from checkpoint paths; missing paths yield a
-    zero-context text encoder (explicitly logged) / None towers."""
+                   jit: bool = True,
+                   allow_dummy_text: bool = False) -> ConditioningEncoders:
+    """Assemble the bundle from checkpoint paths; missing towers yield None.
+
+    A missing t5_ckpt is a hard error unless ``allow_dummy_text`` — silently
+    training/inferring with zero text embeddings is a footgun (the model
+    sees the unconditional context for every prompt)."""
     if t5_ckpt:
         encode_text = build_text_encoder(t5_ckpt, tokenizer_path, jit=jit)
     else:
+        if not allow_dummy_text:
+            raise ValueError(
+                "no t5_ckpt given: text conditioning would be all-zeros. "
+                "Pass --t5_ckpt, or --allow_dummy_text to opt in "
+                "explicitly (tests/smoke runs only).")
         print("WARNING: no --t5_ckpt; text conditioning will be zeros")
 
         def encode_text(prompts):

@@ -73,7 +73,9 @@ class StraagTrainer:
                  mesh, tcfg: StraagTrainConfig, run_cfg: StraagRunConfig,
                  encode_clip: Optional[Callable] = None,
                  extract_mpm: Optional[Callable] = None,
-                 tx=None, validation_pipeline=None):
+                 tx=None, validation_pipeline=None,
+                 trainable_filter: Optional[Callable[[str], bool]] = None,
+                 report_grad_norms: bool = False):
         import optax
 
         self.dit, self.vae = dit, vae
@@ -97,7 +99,9 @@ class StraagTrainer:
             if tcfg.use_ema else None
         from ..models.vae_streaming import encode_streamed
 
-        self.step_fn = jax.jit(make_train_step(dit, self.tx, tcfg))
+        self.step_fn = jax.jit(make_train_step(
+            dit, self.tx, tcfg, trainable_filter=trainable_filter,
+            report_grad_norms=report_grad_norms))
         # streamed (lax.scan) encode, matching pipelines/base.py and
         # train_vism: the fused full-sequence encoder materialises ~2 GB
         # activations per layer at 49f 368x512 and OOMs a 16 GiB chip
@@ -198,8 +202,15 @@ class StraagTrainer:
 
             if self.global_step % rc.log_steps == 0 \
                     or self.global_step == 1:
+                grad_norms = step_metrics.pop("grad_norms", None)
                 scal = {k: float(v) for k, v in step_metrics.items()}
                 metrics.log(self.global_step, scal, prefix="train")
+                if grad_norms is not None:
+                    # --report_model_info parity (train_wan.py:2003-2012)
+                    metrics.log(self.global_step,
+                                {k: float(v)
+                                 for k, v in grad_norms.items()},
+                                prefix="grad_norm")
                 print(f"step {self.global_step}: "
                       + " ".join(f"{k}={v:.4f}" for k, v in scal.items()))
             if rc.validation_steps and \

@@ -60,14 +60,18 @@ class StraagTrainConfig:
 
 def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,
                     cfg: StraagTrainConfig,
-                    trainable_filter=None):
+                    trainable_filter=None,
+                    report_grad_norms: bool = False):
     """Returns step(params, opt_state, ema, batch, rng, global_step).
 
     batch: dict with 'latents' [B,T',h,w,16], 'y' [B,T',h,w,48],
     'context' [B,L,text_dim], optional 'clip_fea', 'mpm_features'.
     trainable_filter(path)->bool restricts which params get gradients
     (name-matched trainable_modules, train_wan.py:949-954); others are
-    frozen via stop_gradient masking."""
+    frozen via stop_gradient masking.
+    report_grad_norms adds a per-parameter grad-norm dict to the step
+    metrics (the reference's --report_model_info TensorBoard histograms,
+    train_wan.py:2003-2012)."""
     sigmas = jnp.asarray(training_schedule(cfg.num_train_timesteps,
                                            cfg.shift))
     sampler = StratifiedTimestepSampler(
@@ -121,6 +125,12 @@ def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,
             grads, global_step, cfg.max_grad_norm,
             decay_steps=cfg.grad_clip_decay_steps)
         updates, new_opt_state = tx.update(grads, opt_state, params)
+        if trainable_filter:
+            # frozen params are never handed to the reference's optimizer,
+            # so they see no weight decay either — zero their updates
+            updates = jax.tree_util.tree_map(
+                lambda u, m: u if m else jnp.zeros_like(u),
+                updates, mask_tree)
         new_params = optax.apply_updates(params, updates)
 
         skip = jnp.logical_and(global_step > cfg.abnormal_loss_start_step,
@@ -136,7 +146,13 @@ def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,
             new_ema = ema_update(ema, params, cfg.ema_decay)
             ema = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(skip, old, new), new_ema, ema)
-        return params, opt_state, ema, {"loss": loss, "grad_norm": gnorm,
-                                        "skipped": skip}
+        metrics = {"loss": loss, "grad_norm": gnorm, "skipped": skip}
+        if report_grad_norms:
+            flat, _ = jax.tree_util.tree_flatten_with_path(grads)
+            metrics["grad_norms"] = {
+                jax.tree_util.keystr(kp):
+                    jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+                for kp, g in flat}
+        return params, opt_state, ema, metrics
 
     return step

@@ -43,6 +43,22 @@ def parse_args():
     p.add_argument("--optimizer", default="adamw",
                    choices=["adamw", "came"],
                    help="came = the reference's --use_came path")
+    p.add_argument("--trainable_modules", default=None,
+                   help="comma-separated name substrings; params whose "
+                        "path contains none are frozen (the reference's "
+                        "--trainable_modules, train_wan.py:949-954). "
+                        "Default: full fine-tune")
+    p.add_argument("--low_lr_names", default=None,
+                   help="regex over param paths trained at "
+                        "learning_rate*low_lr_ratio (2-tier LR groups, "
+                        "train_wan.py:1091-1142)")
+    p.add_argument("--low_lr_ratio", type=float, default=0.1)
+    p.add_argument("--allow_dummy_text", action="store_true",
+                   help="permit training without --t5_ckpt (zero text "
+                        "embeddings; smoke runs only)")
+    p.add_argument("--report_model_info", action="store_true",
+                   help="log per-parameter grad norms "
+                        "(train_wan.py:2003-2012)")
     p.add_argument("--max_grad_norm", type=float, default=0.05)
     p.add_argument("--max_steps", type=int, default=10000)
     p.add_argument("--checkpointing_steps", type=int, default=500)
@@ -155,7 +171,8 @@ def main():
     encoders = build_encoders(
         t5_ckpt=args.t5_ckpt, tokenizer_path=args.tokenizer,
         clip_ckpt=args.clip_ckpt, omnimae_ckpt=args.omnimae_ckpt,
-        text_dim=cfg.text_dim, text_len=cfg.text_len)
+        text_dim=cfg.text_dim, text_len=cfg.text_len,
+        allow_dummy_text=args.allow_dummy_text)
 
     mesh = create_mesh()
     tcfg = StraagTrainConfig(learning_rate=args.learning_rate,
@@ -183,12 +200,26 @@ def main():
         from more4d_tpu.train import came
 
         tx = came(args.learning_rate)
+    elif args.low_lr_names:
+        from more4d_tpu.train.optim import make_adamw
+
+        tx = make_adamw(args.learning_rate, low_lr_names=args.low_lr_names,
+                        low_lr_ratio=args.low_lr_ratio, params=params)
+
+    trainable_filter = None
+    if args.trainable_modules:
+        names = [n.strip() for n in args.trainable_modules.split(",")
+                 if n.strip()]
+        trainable_filter = lambda path: any(n in path for n in names)  # noqa: E731
+
     trainer = StraagTrainer(
         dit, params, vae, vae_params, enc, enc_params,
         encode_text=encoders.encode_text, mesh=mesh, tcfg=tcfg,
         run_cfg=rcfg, encode_clip=encoders.encode_clip,
         extract_mpm=encoders.extract_mpm, tx=tx,
-        validation_pipeline=validation_pipeline)
+        validation_pipeline=validation_pipeline,
+        trainable_filter=trainable_filter,
+        report_grad_norms=args.report_model_info)
 
     files = sorted(glob.glob(os.path.join(args.data_dir,
                                           "*_dt3d_pred.pkl")))

@@ -31,6 +31,9 @@ def parse_args():
                    help="Wan-Fun-InP base checkpoint")
     p.add_argument("--vae_ckpt", required=True)
     p.add_argument("--t5_ckpt", default=None)
+    p.add_argument("--allow_dummy_text", action="store_true",
+                   help="permit training without --t5_ckpt (zero text "
+                        "embeddings; smoke runs only)")
     p.add_argument("--tokenizer", default="google/umt5-xxl")
     p.add_argument("--clip_ckpt", default=None)
     p.add_argument("--use_3dgs", action="store_true",
@@ -154,7 +157,7 @@ def main():
     encoders = build_encoders(
         t5_ckpt=args.t5_ckpt, tokenizer_path=args.tokenizer,
         clip_ckpt=args.clip_ckpt, text_dim=cfg.text_dim,
-        text_len=cfg.text_len)
+        text_len=cfg.text_len, allow_dummy_text=args.allow_dummy_text)
 
     videos = sorted(glob.glob(os.path.join(args.data_dir, "videos",
                                            "*.mp4")))

@@ -290,3 +290,51 @@ def test_cli_batch_iterator_buckets(tmp_path):
     # each batch homogeneous
     assert shapes == [(T, 16, 64, 3), (T, H, W, 3)]
     assert batch1[0][0].flow.shape == batch1[0][1].flow.shape
+
+
+def test_trainable_filter_and_grad_norm_report(models, tmp_path):
+    """--trainable_modules freezes non-matching params (train_wan.py:
+    949-954) and --report_model_info logs per-parameter grad norms
+    (:2003-2012)."""
+    dit, dcfg, params, vae, vae_params, enc, enc_params = models
+    encode_text, encode_clip, extract_mpm = _tiny_encoders(dcfg)
+    mesh = create_mesh(MeshConfig(data=1, fsdp=-1, seq=1))
+    tcfg = StraagTrainConfig(learning_rate=1e-3, world_size=1,
+                             abnormal_loss_threshold=1e9, use_ema=False)
+    rcfg = StraagRunConfig(output_dir=str(tmp_path / "ft"), batch_size=1,
+                           max_steps=2, checkpointing_steps=100,
+                           log_steps=1, seed=0,
+                           text_dropout=0.0, control_dropout=0.0)
+    trainer = StraagTrainer(
+        dit, params, vae, vae_params, enc, enc_params, encode_text, mesh,
+        tcfg, rcfg, encode_clip=encode_clip, extract_mpm=extract_mpm,
+        trainable_filter=lambda path: "head" in path,
+        report_grad_norms=True)
+    before = jax.tree_util.tree_map(np.asarray, trainer.params)
+
+    def batches():
+        i = 0
+        while True:
+            yield [_sample(i)], ["a scene"]
+            i += 1
+
+    trainer.train(batches())
+    after = trainer.params
+
+    moved = frozen_moved = 0.0
+    flat_b, _ = jax.tree_util.tree_flatten_with_path(before)
+    flat_a, _ = jax.tree_util.tree_flatten_with_path(after)
+    for (kp, b), (_, a) in zip(flat_b, flat_a):
+        delta = float(np.abs(np.asarray(a) - b).max())
+        if "head" in jax.tree_util.keystr(kp):
+            moved = max(moved, delta)
+        else:
+            frozen_moved = max(frozen_moved, delta)
+    assert moved > 0.0, "trainable (head) params did not update"
+    assert frozen_moved == 0.0, "frozen params moved"
+
+    lines = [json.loads(l) for l in
+             open(os.path.join(rcfg.output_dir, "metrics.jsonl"))]
+    gn_keys = [k for l in lines for k in l if k.startswith("grad_norm/")]
+    assert gn_keys, "no per-parameter grad norms logged"
+    assert any("head" in k for k in gn_keys)
