@@ -180,28 +180,52 @@ def stage2_inpaint(m: TwoStageModels, render: Dict[str, np.ndarray],
     """Fill disocclusions of one rendered trajectory. Returns [T,H,W,3]
     in [0, 1]."""
     rng = rng if rng is not None else jax.random.PRNGKey(1)
-    video = jnp.asarray(render["frames"], jnp.float32) * 2.0 - 1.0
-    mask = jnp.asarray(render["mask"], jnp.float32)[..., None]
-    prompt_embeds = m.encode_text([prompt])
-    neg_embeds = m.encode_text([negative_prompt])
+    return stage2_inpaint_batch(m, [render], prompt, negative_prompt,
+                                rng=rng)[0]
+
+
+def stage2_inpaint_batch(m: TwoStageModels,
+                         renders: Sequence[Dict[str, np.ndarray]],
+                         prompt: str, negative_prompt: str = "",
+                         rng: Optional[jax.Array] = None) -> np.ndarray:
+    """Fill disocclusions of K rendered trajectories in ONE batched
+    pipeline call ([K,T,H,W,3] through the jitted denoise loop).
+
+    The reference runs the 11-trajectory sweep serially
+    (infer.py:961-989); on TPU one batch-K denoise amortises dispatch and
+    the VAE encode/decode scans across the sweep. Returns [K,T,H,W,3] in
+    [0, 1]."""
+    rng = rng if rng is not None else jax.random.PRNGKey(1)
+    k = len(renders)
+    video = jnp.stack([jnp.asarray(r["frames"], jnp.float32) * 2.0 - 1.0
+                       for r in renders])
+    mask = jnp.stack([jnp.asarray(r["mask"], jnp.float32)[..., None]
+                      for r in renders])
+    prompt_embeds = jnp.tile(m.encode_text([prompt]), (k, 1, 1))
+    neg_embeds = jnp.tile(m.encode_text([negative_prompt]), (k, 1, 1))
     clip_fea = None
     if m.encode_image_clip is not None:
-        clip_fea = m.encode_image_clip(
-            jnp.asarray(render["frames"][:1]) * 2.0 - 1.0)
+        clip_fea = jnp.concatenate(
+            [m.encode_image_clip(jnp.asarray(r["frames"][:1]) * 2.0 - 1.0)
+             for r in renders], axis=0)
     out = m.inpaint_pipeline(m.dit_inp_params, m.vae_params, rng,
                              prompt_embeds, neg_embeds=neg_embeds,
-                             video=video[None], mask=mask[None],
-                             clip_fea=clip_fea)
-    return np.asarray(out[0])
+                             video=video, mask=mask, clip_fea=clip_fea)
+    return np.asarray(out)
 
 
 def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
                   negative_prompt: str = "",
                   depth: Optional[np.ndarray] = None,
                   trajectory_types=None, use_gs: bool = True,
-                  rng: Optional[jax.Array] = None):
+                  rng: Optional[jax.Array] = None,
+                  stage2_batch: int = 11):
     """Single image -> list of inpainted novel-view videos (one per camera
-    trajectory), plus the stage-1 point clouds."""
+    trajectory), plus the stage-1 point clouds.
+
+    ``stage2_batch``: how many trajectories to inpaint per batched
+    pipeline call (1 reproduces the reference's serial sweep; the default
+    batches the whole 11-sweep through one denoise loop)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     r1, r2 = jax.random.split(rng)
     coords, colors = stage1_generate(m, image01, prompt, negative_prompt,
@@ -211,9 +235,11 @@ def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
                                   pipe.config.width, trajectory_types,
                                   use_gs)
     videos = []
-    for i, render in enumerate(renders):
-        out = stage2_inpaint(m, render, prompt, negative_prompt,
-                             rng=jax.random.fold_in(r2, i))
-        videos.append({"name": render["name"], "video": out})
+    for c0 in range(0, len(renders), max(stage2_batch, 1)):
+        chunk = renders[c0:c0 + max(stage2_batch, 1)]
+        outs = stage2_inpaint_batch(m, chunk, prompt, negative_prompt,
+                                    rng=jax.random.fold_in(r2, c0))
+        for render, out in zip(chunk, outs):
+            videos.append({"name": render["name"], "video": out})
     return {"coords": coords, "colors": colors, "renders": renders,
             "videos": videos}

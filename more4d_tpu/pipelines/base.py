@@ -40,11 +40,16 @@ class TeaCacheConfig:
 class BasePipeline:
     def __init__(self, dit: WanDiT, vae: WanVAE,
                  config: PipelineConfig = PipelineConfig(),
-                 teacache: Optional[TeaCacheConfig] = None):
+                 teacache: Optional[TeaCacheConfig] = None,
+                 streamed_dit=None):
         self.dit = dit
         self.vae = vae
         self.config = config
         self.teacache = teacache
+        # Host-offloaded execution (parallel/offload.StreamedDiT): when
+        # set, the denoise loop streams block weights from pinned host
+        # memory — the 14B-on-one-chip memory mode (infer.py:685-707).
+        self.streamed_dit = streamed_dit
         self.scheduler = get_scheduler(config.scheduler,
                                        config.num_inference_steps,
                                        config.shift)
@@ -184,6 +189,19 @@ class BasePipeline:
         cfgp = self.config
         if guidance_scale is None:
             guidance_scale = cfgp.guidance_scale
+        if self.streamed_dit is not None:
+            from ..parallel.offload import _HostTeaCache
+
+            tc = None
+            if self.teacache is not None:
+                tc = _HostTeaCache(self.teacache.coefficients,
+                                   self.teacache.rel_l1_thresh,
+                                   self.teacache.num_skip_start_steps)
+            return self.streamed_dit.denoise(
+                self.scheduler, latents, prompt_embeds,
+                neg_embeds=neg_embeds, y=y, clip_fea=clip_fea,
+                mpm_features=mpm_features, guidance_scale=guidance_scale,
+                cfg_skip_ratio=cfgp.cfg_skip_ratio, teacache=tc)
         do_cfg = guidance_scale > 1.0 and neg_embeds is not None
         n = self.scheduler.num_steps
         n_skip = int(math.ceil(n * cfgp.cfg_skip_ratio)) if do_cfg else 0

@@ -53,12 +53,31 @@ def parse_args():
     p.add_argument("--shift", type=float, default=3.0)
     p.add_argument("--sampler", default="flow",
                    choices=["flow", "flow_unipc", "flow_dpm++"])
-    p.add_argument("--teacache_threshold", type=float, default=0.0)
+    # reference inference defaults: TeaCache 0.10 with 5 warm steps
+    # (infer.py:1044-1048); 0 disables
+    p.add_argument("--teacache_threshold", type=float, default=0.10)
     p.add_argument("--cfg_skip_ratio", type=float, default=0.0)
     p.add_argument("--riflex_k", type=int, default=None)
-    p.add_argument("--depth_provider", default="unidepth",
+    p.add_argument("--fp8_weights", action="store_true",
+                   help="store DiT weights as float8_e4m3 in HBM "
+                        "(fp8_optimization.py:19 equivalent; dequant fuses "
+                        "into the matmuls under jit)")
+    p.add_argument("--offload_blocks", action="store_true",
+                   help="stream DiT block weights from pinned host memory "
+                        "(the 14B-on-one-chip memory mode; the reference's "
+                        "sequential cpu-offload, infer.py:685-707). Implies "
+                        "fp8 block storage.")
+    p.add_argument("--stage2_batch", type=int, default=11,
+                   help="trajectories per batched stage-2 call (1 = the "
+                        "reference's serial sweep)")
+    # default: the native JAX UniDepth port (no torch in the live path);
+    # "unidepth" selects the torch wrapper when that package is installed
+    p.add_argument("--depth_provider", default="unidepth_jax",
                    choices=["unidepth", "unidepth_jax", "precomputed", "constant"])
     p.add_argument("--depth_dir", default=None)
+    p.add_argument("--depth_ckpt", default=None,
+                   help="UniDepth-V2 torch checkpoint for the JAX provider "
+                        "(convert_unidepth_state_dict)")
     p.add_argument("--use_gs", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=43)
     p.add_argument("--fsdp", action="store_true",
@@ -142,14 +161,47 @@ def main():
         cfg_skip_ratio=args.cfg_skip_ratio, riflex_k=args.riflex_k)
     teacache = None
     if args.teacache_threshold > 0:
+        coeff_key = ("wan2.1-fun-14b" if args.model_size == "14b"
+                     else "wan2.1-fun-1.3b")
         teacache = TeaCacheConfig(
-            coefficients=tuple(TEACACHE_COEFFICIENTS["wan2.1-fun-14b"]),
+            coefficients=tuple(TEACACHE_COEFFICIENTS[coeff_key]),
             rel_l1_thresh=args.teacache_threshold, num_skip_start_steps=5)
     ctrl = WanControlPipeline(dit4, vae, pcfg, teacache=teacache)
     inp = WanInpaintPipeline(dit_inp, vae, pcfg, teacache=teacache)
 
-    depth_kw = {"directory": args.depth_dir} \
-        if args.depth_provider == "precomputed" else {}
+    if args.fp8_weights and not args.offload_blocks:
+        # fp8 HBM storage, direct cast like the reference
+        # (fp8_optimization.py:19); flax promotes the fp8 kernels to bf16
+        # inside the jitted graph, so HBM holds (and reads) fp8
+        from more4d_tpu.utils.quantize import quantize_params_fp8
+        p4 = quantize_params_fp8(p4, scaled=False)
+        p_inp = quantize_params_fp8(p_inp, scaled=False)
+    if args.offload_blocks:
+        # stream block weights from pinned host memory (StreamedDiT):
+        # required for the 14B checkpoints on a single 16 GiB chip
+        from more4d_tpu.parallel.offload import (StreamedDiT,
+                                                 offload_blocks_to_host,
+                                                 split_block_params)
+        quant = "fp8"
+        res4, stack4 = split_block_params(p4)
+        ctrl.streamed_dit = StreamedDiT(
+            dit4, res4, offload_blocks_to_host(stack4, cfg4.num_layers,
+                                               quantize=quant),
+            rope_tables=ctrl.rope_tables)
+        res_i, stack_i = split_block_params(p_inp)
+        inp.streamed_dit = StreamedDiT(
+            dit_inp, res_i,
+            offload_blocks_to_host(stack_i, cfg_inp.num_layers,
+                                   quantize=quant),
+            rope_tables=inp.rope_tables)
+        del p4, p_inp, stack4, stack_i
+        p4, p_inp = res4, res_i
+
+    depth_kw = {}
+    if args.depth_provider == "precomputed":
+        depth_kw["directory"] = args.depth_dir
+    elif args.depth_provider == "unidepth_jax" and args.depth_ckpt:
+        depth_kw["ckpt"] = args.depth_ckpt
     depth = get_depth_provider(args.depth_provider, **depth_kw)
 
     models = TwoStageModels(
@@ -164,7 +216,8 @@ def main():
                        np.float32) / 255.0
     out = run_two_stage(models, image, args.prompt, args.negative_prompt,
                         use_gs=args.use_gs,
-                        rng=jax.random.PRNGKey(args.seed))
+                        rng=jax.random.PRNGKey(args.seed),
+                        stage2_batch=args.stage2_batch)
 
     from more4d_tpu.utils import save_pointcloud_txt, save_videos_grid
 

@@ -218,3 +218,36 @@ def test_pipeline_teacache_matches_reference_decisions():
         s, state = decide(jnp.asarray(e), state)
         decisions.append(bool(s))
     assert decisions == ref_dec
+
+
+def test_pipeline_with_streamed_dit_matches():
+    """BasePipeline.denoise routes through StreamedDiT when attached and
+    matches the in-graph loop (scripts/infer.py --offload_blocks path)."""
+    from more4d_tpu.config import vae_tiny
+    from more4d_tpu.models.wan_vae import WanVAE
+    from more4d_tpu.pipelines import WanControlPipeline
+
+    model, params, x, t, ctx, kw = _tiny_model_and_inputs()
+    pcfg = PipelineConfig(num_inference_steps=3, num_frames=9, height=64,
+                          width=64, cfg_skip_ratio=0.34)
+    vae = WanVAE(vae_tiny())
+    latents = jax.random.normal(jax.random.PRNGKey(7), x.shape, jnp.float32)
+    neg = jnp.zeros_like(ctx)
+
+    plain = WanControlPipeline(model, vae, pcfg)
+    ref = plain.denoise(params, latents, ctx, neg_embeds=neg, y=kw["y"],
+                        clip_fea=kw["clip_fea"],
+                        mpm_features=kw["mpm_features"])
+
+    resident, stacked = split_block_params(params)
+    host = offload_blocks_to_host(stacked, model.cfg.num_layers,
+                                  quantize="bf16")
+    stream = WanControlPipeline(model, vae, pcfg)
+    stream.streamed_dit = StreamedDiT(model, resident, host,
+                                      rope_tables=stream.rope_tables)
+    out = stream.denoise(params, latents, ctx, neg_embeds=neg, y=kw["y"],
+                         clip_fea=kw["clip_fea"],
+                         mpm_features=kw["mpm_features"])
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
