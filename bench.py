@@ -266,38 +266,60 @@ def bench_two_stage():
         timings["render_compile_s" if warm else "render_per_traj_s"] = \
             round(time.perf_counter() - t0, 2)
 
+    # teardown stage-1 models before stage 2 — the reference does exactly
+    # this between stages (infer.py:997-1012 to-cpu + gc + empty_cache);
+    # both 1.3B param sets + the batched sweep do not co-reside in 16 GiB
+    import gc
+    del p4, ctrl, run_stage1, coords0, coords_video
+    gc.collect()
+
     # stage 2: 50-step inpaint — one trajectory, then the 11-sweep BATCHED
     video = frames.astype(jnp.float32) * 2 - 1
     mask = (alpha < 0.5).astype(jnp.float32)[..., None]
 
     def run_stage2(k):
-        vk = jnp.broadcast_to(video[None], (k,) + video.shape)
-        mk_ = jnp.broadcast_to(mask[None], (k,) + mask.shape)
+        """Per-trajectory VAE encode (k honest encodes) + ONE batch-k
+        denoise + chunked decode — the stage2_inpaint_batch memory
+        discipline."""
         pk = jnp.broadcast_to(prompt, (k,) + prompt.shape[1:])
         t0 = time.perf_counter()
-        out2 = inp(p_inp, vp, rng, pk, neg_embeds=pk, video=vk, mask=mk_,
-                   clip_fea=mk(k, cfg_inp.clip_tokens, cfg_inp.clip_dim))
-        fence(out2)
+        latents = inp.prepare_latents(rng, k)
+        ys = [inp.prepare_conditions(vp, latents[:1].shape, video[None],
+                                     mask[None]) for _ in range(k)]
+        y = jnp.concatenate(ys, axis=0)
+        lat = inp.denoise(p_inp, latents, pk, neg_embeds=pk, y=y,
+                          clip_fea=mk(k, cfg_inp.clip_tokens,
+                                      cfg_inp.clip_dim))
+        for i in range(0, k, 4):
+            fence(inp.decode_latents(vp, lat[i:i + 4]))
         return time.perf_counter() - t0
 
     timings["stage2_compile_s"] = round(run_stage2(1), 2)
     timings["stage2_per_traj_s"] = round(min(run_stage2(1)
                                              for _ in range(2)), 2)
     sweep_k = int(os.environ.get("MORE4D_BENCH_SWEEP_K", "11"))
-    if sweep_k > 1:
-        timings["stage2_sweep_compile_s"] = round(run_stage2(sweep_k), 2)
-        timings[f"stage2_sweep{sweep_k}_batched_s"] = round(
-            run_stage2(sweep_k), 2)
+    while sweep_k > 1:
+        try:
+            timings["stage2_sweep_compile_s"] = round(run_stage2(sweep_k), 2)
+            timings["stage2_sweep_batched_s"] = round(run_stage2(sweep_k), 2)
+            timings["stage2_sweep_k"] = sweep_k
+            break
+        except Exception as e:  # RESOURCE_EXHAUSTED -> halve the sweep batch
+            timings["stage2_sweep_error"] = f"k={sweep_k}: " \
+                f"{type(e).__name__}: {str(e)[:200]}"
+            gc.collect()
+            sweep_k //= 2
 
     total_1traj = (timings["depth_lift_s"] + timings["stage1_s"]
                    + timings["render_per_traj_s"]
                    + timings["stage2_per_traj_s"])
     timings["total_1traj_s"] = round(total_1traj, 2)
-    if sweep_k > 1:
+    if timings.get("stage2_sweep_k"):
+        k = timings["stage2_sweep_k"]
         timings["total_11traj_s"] = round(
             timings["depth_lift_s"] + timings["stage1_s"]
             + 11 * timings["render_per_traj_s"]
-            + timings[f"stage2_sweep{sweep_k}_batched_s"] * 11 / sweep_k, 2)
+            + timings["stage2_sweep_batched_s"] * 11 / k, 2)
     return timings
 
 
@@ -415,14 +437,29 @@ def bench_teacache():
             "speedup": round(plain / max(fast, 1e-9), 3)}
 
 
-def _leg(extra, key, fn, flag):
-    """Run one bench leg; never fail the whole bench, always record."""
-    if os.environ.get(flag, "1") != "1":
-        return
+def _run_leg_subprocess(mode: str, timeout: int = 1500):
+    """Run one leg in a fresh process (each leg needs the whole 16 GiB HBM
+    to itself — streaming buffers, batch-11 sweeps and 1.3B params do not
+    co-reside) and parse its JSON line."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["MORE4D_BENCH_MODE"] = mode
     try:
-        extra[key] = fn()
-    except Exception as e:
-        extra[key] = {"error": f"{type(e).__name__}: {e}"}
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              timeout=timeout,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return {"error": f"leg '{mode}' timed out after {timeout}s"}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (ValueError, TypeError):
+            continue
+    return {"error": f"leg '{mode}' rc={proc.returncode}: "
+                     f"{proc.stderr.strip()[-500:]}"}
 
 
 def main():
@@ -435,30 +472,48 @@ def main():
         pass
 
     mode = os.environ.get("MORE4D_BENCH_MODE", "all")
+    if mode == "denoise":
+        steps_per_sec, extra = bench_denoise()
+        print(json.dumps({"metric": "denoise_steps_per_sec",
+                          "value": round(steps_per_sec, 4),
+                          "unit": "steps/s", "extra": extra}))
+        return
+    if mode == "14b":
+        print(json.dumps({"metric": "14b_denoise",
+                          "extra": bench_14b_measured()}))
+        return
     if mode == "two_stage":
+        ts = bench_two_stage()
         print(json.dumps({"metric": "two_stage_e2e_seconds",
-                          "value": bench_two_stage().get("total_1traj_s"),
-                          "unit": "s", "vs_baseline": 1.0}))
+                          "value": ts.get("total_1traj_s"),
+                          "unit": "s", "extra": ts}))
         return
     if mode == "train":
         print(json.dumps({"metric": "train_steps_per_sec",
-                          "value": bench_train().get("steps_per_sec"),
-                          "unit": "steps/s", "vs_baseline": 1.0}))
+                          "extra": bench_train()}))
         return
     if mode == "teacache":
         print(json.dumps({"metric": "teacache_speedup",
-                          "value": bench_teacache().get("speedup"),
-                          "unit": "x", "vs_baseline": 1.0}))
+                          "extra": bench_teacache()}))
         return
 
-    # default: ONE line carrying every driver-visible number
-    steps_per_sec, extra = bench_denoise()
-    _leg(extra, "14b_measured", bench_14b_measured, "MORE4D_BENCH_14B")
-    _leg(extra, "two_stage_1.3b", bench_two_stage, "MORE4D_BENCH_E2E")
-    _leg(extra, "train_1.3b", bench_train, "MORE4D_BENCH_TRAIN")
+    # default: ONE line carrying every driver-visible number; legs run in
+    # fresh subprocesses so they don't contend for HBM
+    res = _run_leg_subprocess("denoise")
+    steps_per_sec = res.get("value") or 0.0
+    extra = res.get("extra", res)
+    if os.environ.get("MORE4D_BENCH_14B", "1") == "1":
+        extra["14b_measured"] = _run_leg_subprocess("14b").get(
+            "extra", {"error": "no output"})
+    if os.environ.get("MORE4D_BENCH_E2E", "1") == "1":
+        extra["two_stage_1.3b"] = _run_leg_subprocess("two_stage").get(
+            "extra", {"error": "no output"})
+    if os.environ.get("MORE4D_BENCH_TRAIN", "1") == "1":
+        extra["train_1.3b"] = _run_leg_subprocess("train").get(
+            "extra", {"error": "no output"})
     if os.environ.get("MORE4D_BENCH_TEACACHE", "0") == "1":
-        _leg(extra, "teacache_compare", bench_teacache,
-             "MORE4D_BENCH_TEACACHE")
+        extra["teacache_compare"] = _run_leg_subprocess("teacache").get(
+            "extra", {"error": "no output"})
 
     vs = 1.0
     base_path = os.path.join(os.path.dirname(__file__),
@@ -466,7 +521,7 @@ def main():
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        if base.get("value"):
+        if base.get("value") and steps_per_sec:
             vs = steps_per_sec / base["value"]
     size = os.environ.get("MORE4D_BENCH_SIZE", "1.3b")
     print(json.dumps({

@@ -77,9 +77,12 @@ WAN_14B = dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40)
 
 
 def dit_tiny(**kw) -> DiTConfig:
-    """Small config for tests/dev — same code path as the 14B model."""
+    """Small config for tests/dev — same code path as the 14B model.
+    text_len/clip_tokens are shrunk too (the real 512/257 would make every
+    tiny forward pad its context to 769 tokens)."""
     base = dict(dim=128, ffn_dim=256, num_heads=2, num_layers=2, text_dim=32,
-                clip_dim=32, motion_feature_dim=16, in_dim=64, out_dim=16)
+                clip_dim=32, motion_feature_dim=16, in_dim=64, out_dim=16,
+                text_len=26, clip_tokens=9)
     base.update(kw)
     return DiTConfig(**base)
 

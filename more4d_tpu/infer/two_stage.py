@@ -187,31 +187,43 @@ def stage2_inpaint(m: TwoStageModels, render: Dict[str, np.ndarray],
 def stage2_inpaint_batch(m: TwoStageModels,
                          renders: Sequence[Dict[str, np.ndarray]],
                          prompt: str, negative_prompt: str = "",
-                         rng: Optional[jax.Array] = None) -> np.ndarray:
-    """Fill disocclusions of K rendered trajectories in ONE batched
-    pipeline call ([K,T,H,W,3] through the jitted denoise loop).
+                         rng: Optional[jax.Array] = None,
+                         decode_chunk: int = 4) -> np.ndarray:
+    """Fill disocclusions of K rendered trajectories with ONE batched
+    denoise loop.
 
     The reference runs the 11-trajectory sweep serially
-    (infer.py:961-989); on TPU one batch-K denoise amortises dispatch and
-    the VAE encode/decode scans across the sweep. Returns [K,T,H,W,3] in
+    (infer.py:961-989); here the 50-step denoise — the dominant cost —
+    runs batch-K. Memory discipline on a 16 GiB chip: the VAE *encode* of
+    each trajectory's masked video runs per-trajectory (a batched encode
+    would materialise K full fp32 videos + masks at once), and the final
+    *decode* runs in ``decode_chunk`` groups. Returns [K,T,H,W,3] in
     [0, 1]."""
     rng = rng if rng is not None else jax.random.PRNGKey(1)
+    pipe = m.inpaint_pipeline
     k = len(renders)
-    video = jnp.stack([jnp.asarray(r["frames"], jnp.float32) * 2.0 - 1.0
-                       for r in renders])
-    mask = jnp.stack([jnp.asarray(r["mask"], jnp.float32)[..., None]
-                      for r in renders])
+    latents = pipe.prepare_latents(rng, k)
+
+    ys, clips = [], []
+    for r in renders:
+        video = jnp.asarray(r["frames"], jnp.float32)[None] * 2.0 - 1.0
+        mask = jnp.asarray(r["mask"], jnp.float32)[None, ..., None]
+        ys.append(pipe.prepare_conditions(m.vae_params, latents[:1].shape,
+                                          video, mask))
+        if m.encode_image_clip is not None:
+            clips.append(m.encode_image_clip(
+                jnp.asarray(r["frames"][:1]) * 2.0 - 1.0))
+    y = jnp.concatenate(ys, axis=0)
+    clip_fea = jnp.concatenate(clips, axis=0) if clips else None
     prompt_embeds = jnp.tile(m.encode_text([prompt]), (k, 1, 1))
     neg_embeds = jnp.tile(m.encode_text([negative_prompt]), (k, 1, 1))
-    clip_fea = None
-    if m.encode_image_clip is not None:
-        clip_fea = jnp.concatenate(
-            [m.encode_image_clip(jnp.asarray(r["frames"][:1]) * 2.0 - 1.0)
-             for r in renders], axis=0)
-    out = m.inpaint_pipeline(m.dit_inp_params, m.vae_params, rng,
-                             prompt_embeds, neg_embeds=neg_embeds,
-                             video=video, mask=mask, clip_fea=clip_fea)
-    return np.asarray(out)
+
+    latents = pipe.denoise(m.dit_inp_params, latents, prompt_embeds,
+                           neg_embeds, y=y, clip_fea=clip_fea)
+    outs = [np.asarray(pipe.decode_latents(m.vae_params,
+                                           latents[i:i + decode_chunk]))
+            for i in range(0, k, max(decode_chunk, 1))]
+    return np.concatenate(outs, axis=0)
 
 
 def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,

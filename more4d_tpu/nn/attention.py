@@ -21,13 +21,24 @@ import jax.numpy as jnp
 from ..kernels.flash_attention import flash_attention, xla_attention
 
 
+def _blocks():
+    """Flash tile sizes; env-overridable for tuning (MORE4D_FLASH_BQ/BK).
+    Defaults chosen by sweep on v5e at the L=9568 operating point."""
+    return (int(os.environ.get("MORE4D_FLASH_BQ", "512")),
+            int(os.environ.get("MORE4D_FLASH_BK", "1024")))
+
+
 def _base(backend: str):
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
-        return lambda q, k, v, lens: flash_attention(q, k, v, kv_lens=lens)
-    if backend == "pallas_interpret":
+        bq, bk = _blocks()
         return lambda q, k, v, lens: flash_attention(q, k, v, kv_lens=lens,
+                                                     block_q=bq, block_k=bk)
+    if backend == "pallas_interpret":
+        bq, bk = _blocks()
+        return lambda q, k, v, lens: flash_attention(q, k, v, kv_lens=lens,
+                                                     block_q=bq, block_k=bk,
                                                      interpret=True)
     if backend == "xla":
         return lambda q, k, v, lens: xla_attention(q, k, v, kv_lens=lens)

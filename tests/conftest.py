@@ -21,6 +21,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: test wall time is dominated by CPU
+# compiles of the tiny models, which are identical run-to-run. First run
+# populates the cache; repeat quick-tier runs finish in well under 3 min.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/more4d_jax_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 # ---- quick/slow tiers -----------------------------------------------------
 # Golden tests rebuild the reference torch models per module and the
 # integration tests run multi-step pipelines — mark them slow so

@@ -73,7 +73,8 @@ def test_dit_control_adapter_path():
     from more4d_tpu.config import dit_tiny
     from more4d_tpu.models import WanDiT
 
-    cfg = dit_tiny(dtype=jnp.float32, control_adapter=True)
+    cfg = dit_tiny(dtype=jnp.float32, control_adapter=True, text_len=16,
+                   clip_tokens=9)
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(1, 3, 8, 8, 16), jnp.float32)
     y = jnp.asarray(rng.randn(1, 3, 8, 8, cfg.in_dim - 16), jnp.float32)

@@ -89,7 +89,8 @@ def test_flash_gradients_match_xla(backward):
                                    atol=1e-4)
 
 
-@pytest.mark.parametrize("lq,lk", [(40, 24), (17, 9), (128, 512)])
+@pytest.mark.parametrize("lq,lk", [(40, 24), (17, 9),
+    pytest.param(128, 512, marks=pytest.mark.slow)])
 def test_pallas_backward_ragged_lengths(lq, lk):
     """Pallas dq/dk/dv vs XLA autodiff at non-block-multiple lengths
     (q/kv padding must not leak into gradients)."""

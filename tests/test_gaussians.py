@@ -1,6 +1,7 @@
 """Point-splat renderer: z-buffer equivalence in the hard limit, occlusion,
 differentiability."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,6 +54,7 @@ def test_matches_zbuffer_in_hard_limit():
     assert (np.asarray(alpha) > 0.5).all()
 
 
+@pytest.mark.slow
 def test_render_is_differentiable():
     pts = jnp.asarray([[0.05, 0.05, 1.2], [-0.1, 0.0, 1.8]])
     cols = jnp.asarray([[0.9, 0.1, 0.1], [0.1, 0.9, 0.1]])

@@ -104,6 +104,7 @@ def test_training_schedule_shift():
     assert s[-1] == pytest.approx(5.0 * 0.001 / (1 + 4 * 0.001), rel=1e-4)
 
 
+@pytest.mark.slow
 def test_straag_step_runs_and_skips_abnormal():
     model, params, cfg = _dit_and_params(in_dim=24)
     tcfg = StraagTrainConfig(abnormal_loss_threshold=1e9)  # never skip
@@ -138,6 +139,7 @@ def test_straag_step_runs_and_skips_abnormal():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_vism_lora_step_only_touches_lora():
     model, params, cfg = _dit_and_params(in_dim=12)
     lora = create_lora(params, jax.random.PRNGKey(2), rank=2)
@@ -161,6 +163,7 @@ def test_vism_lora_step_only_touches_lora():
     assert changed
 
 
+@pytest.mark.slow
 def test_vae_adaptor_step_decreases_loss():
     vcfg = VAEConfig(dim=4, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
                      temporal_downsample=(True,))

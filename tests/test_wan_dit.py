@@ -163,6 +163,7 @@ def test_ref_conv_prepends_frame():
     assert out.shape == (1, 5, 8, 8, cfg.out_dim)
 
 
+@pytest.mark.slow
 def test_remat_grad_runs():
     cfg = dit_tiny(dtype=jnp.float32, remat=True)
     rng = np.random.RandomState(6)
@@ -180,6 +181,7 @@ def test_remat_grad_runs():
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+@pytest.mark.slow
 def test_remat_policies_numerically_identical():
     """'nothing'/'dots' remat policies and fraction-p (unscanned) must not
     change values — checkpointing only trades memory for recompute."""

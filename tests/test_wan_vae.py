@@ -1,5 +1,6 @@
 """Causal VAE: shapes, causality, streaming==full equivalence."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +24,7 @@ def _model(cfg=None, seed=0, t=9, h=16, w=16):
     return model, params, x, cfg
 
 
+@pytest.mark.slow
 def test_encode_decode_shapes():
     cfg = VAEConfig(dim=8, z_dim=4, dim_mult=(1, 2, 4), num_res_blocks=1,
                     temporal_downsample=(False, True))
@@ -35,6 +37,7 @@ def test_encode_decode_shapes():
     assert out.shape == (1, 9, 16, 16, 3)
 
 
+@pytest.mark.slow
 def test_full_ratio_shapes():
     cfg = VAEConfig(dim=8, z_dim=4, dim_mult=(1, 1, 2, 2), num_res_blocks=1,
                     temporal_downsample=(False, True, True))
@@ -46,6 +49,7 @@ def test_full_ratio_shapes():
     assert out.shape == (1, 13, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_encoder_is_causal():
     model, params, x, _ = _model(t=9)
     mu, _ = model.apply(params, x, method=WanVAE.encode)
@@ -89,6 +93,7 @@ def test_streaming_decode_matches_full():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_streaming_matches_full_wan_pattern():
     # the real downsample pattern [False, True, True] with 2 temporal stages
     cfg = VAEConfig(dim=4, z_dim=4, dim_mult=(1, 1, 2, 2), num_res_blocks=1,
