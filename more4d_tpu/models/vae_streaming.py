@@ -14,8 +14,19 @@ import jax.numpy as jnp
 from .wan_vae import WanVAE
 
 
-def encode_streamed(model: WanVAE, params, x, normalize: bool = True):
-    """x: [B, T, H, W, 3] with T = 1 + 4k -> (mu, logvar)."""
+def encode_streamed(model: WanVAE, params, x, normalize: bool = True,
+                    static_hint: bool = False):
+    """x: [B, T, H, W, 3] with T = 1 + 4k -> (mu, logvar).
+
+    ``static_hint=True`` enables a fixed-point shortcut for
+    repeated-frame videos (4D-STraG conditions on the first frame
+    repeated T times, and the depth video is one image broadcast —
+    pipeline_wan_fun_control.py:626-655): the causal encoder is a fixed
+    map (cache, chunk) -> (cache', latent), so once the conv caches stop
+    changing AND the incoming chunk equals the previous one, every later
+    chunk's latent is identical and its compute is skipped via lax.cond.
+    Exact (the skip triggers only on bitwise cache convergence), safe for
+    arbitrary inputs (the chunk-equality guard falls back to computing)."""
     b, t, h, w, c = x.shape
     assert (t - 1) % 4 == 0, f"T must be 1+4k, got {t}"
     k = (t - 1) // 4
@@ -35,7 +46,41 @@ def encode_streamed(model: WanVAE, params, x, normalize: bool = True):
             method=WanVAE.encode)
         return cache, (mu, lv)
 
-    _, (mus, lvs) = jax.lax.scan(step, cache, chunks)
+    if static_hint:
+        def _tree_same(a, b):
+            eqs = [jnp.all(u == v) for u, v in
+                   zip(jax.tree.leaves(a), jax.tree.leaves(b))]
+            return jnp.all(jnp.stack(eqs))
+
+        lat_shape = jax.eval_shape(lambda c_, xc: step(c_, xc)[1],
+                                   cache, chunks[0])
+
+        def step_fp(carry, xc):
+            cache, prev_xc, prev_out, done = carry
+            eq_in = jnp.all(xc == prev_xc)
+
+            def run(_):
+                (mu, lv), c2 = model.apply(
+                    params, xc, normalize=normalize, cache=cache,
+                    return_cache=True, method=WanVAE.encode)
+                converged = jnp.logical_and(_tree_same(cache, c2), eq_in)
+                return (c2, xc, (mu, lv), converged), (mu, lv)
+
+            def skip(_):
+                return (cache, xc, prev_out, done), prev_out
+
+            # reuse only while the input keeps repeating — a later
+            # differing chunk re-enters the compute branch
+            return jax.lax.cond(jnp.logical_and(done, eq_in), skip, run,
+                                None)
+
+        zero_out = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                lat_shape)
+        init = (cache, jnp.zeros_like(chunks[0]), zero_out,
+                jnp.asarray(False))
+        _, (mus, lvs) = jax.lax.scan(step_fp, init, chunks)
+    else:
+        _, (mus, lvs) = jax.lax.scan(step, cache, chunks)
     # [k, B, m, h', w', z] -> [B, k*m, h', w', z] (m latent frames per chunk)
     m = mus.shape[2]
     mus = jnp.moveaxis(mus, 0, 1).reshape(b, k * m, *mus.shape[3:])

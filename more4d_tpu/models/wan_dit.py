@@ -70,6 +70,23 @@ class FeedForward(nn.Module):
         return x
 
 
+class _ProjParams(nn.Module):
+    """Kernel+bias holder with Dense-compatible tree layout, for the fused
+    qkv path (the fused matmul needs the raw weights)."""
+
+    in_dim: int
+    out_dim: int
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param("kernel", xavier_uniform(),
+                          (self.in_dim, self.out_dim), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_dim,), self.param_dtype)
+        return kern, bias
+
+
 class SelfAttention(nn.Module):
     """WanSelfAttention (wan_transformer4d.py:409-466): full-width qk RMSNorm,
     3-axis RoPE, flash attention with kv-length masking."""
@@ -84,9 +101,18 @@ class SelfAttention(nn.Module):
             cfg.dim, kernel_init=xavier_uniform(), dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, name=name)
         b, l, _ = x.shape
-        q = dense("q")(x)
-        k = dense("k")(x)
-        v = dense("v")(x)
+        if cfg.fused_qkv:
+            mk = lambda name: _ProjParams(  # noqa: E731
+                cfg.dim, cfg.dim, cfg.param_dtype, name=name)()
+            (wq, bq), (wk, bk), (wv, bv) = mk("q"), mk("k"), mk("v")
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(cfg.dtype)
+            bias = jnp.concatenate([bq, bk, bv]).astype(cfg.dtype)
+            qkv = jnp.dot(x.astype(cfg.dtype), w) + bias
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = dense("q")(x)
+            k = dense("k")(x)
+            v = dense("v")(x)
         if cfg.qk_norm:
             q = RMSNorm(cfg.dim, eps=cfg.eps, dtype=cfg.dtype,
                         param_dtype=cfg.param_dtype, name="norm_q")(q)

@@ -23,9 +23,11 @@ from ..kernels.flash_attention import flash_attention, xla_attention
 
 def _blocks():
     """Flash tile sizes; env-overridable for tuning (MORE4D_FLASH_BQ/BK).
-    Defaults chosen by sweep on v5e at the L=9568 operating point."""
+    BK defaults to the padding-minimising adaptive rule (sweep on v5e at
+    L=9568: fixed tiles <=1024 lose up to 20%, adaptive 4864 wins)."""
+    bk = os.environ.get("MORE4D_FLASH_BK", "adaptive")
     return (int(os.environ.get("MORE4D_FLASH_BQ", "512")),
-            int(os.environ.get("MORE4D_FLASH_BK", "1024")))
+            None if bk in ("adaptive", "") else int(bk))
 
 
 def _base(backend: str):

@@ -61,16 +61,19 @@ class BasePipeline:
 
     # ---------------- VAE helpers ---------------- #
 
-    def encode_video(self, vae_params, video):
+    def encode_video(self, vae_params, video, static_hint: bool = False):
         """video [B,T,H,W,3] in [-1,1] -> deterministic (mode) latents.
 
         Uses the chunked streaming driver (frame chunks [1,4,4,...] as a
         lax.scan over the conv caches, the reference's wan_vae.py:520-547
         semantics): the fused full-sequence encoder materialises ~2 GB
-        activations per layer at 49f 368x512 and OOMs a 16 GB chip."""
+        activations per layer at 49f 368x512 and OOMs a 16 GB chip.
+        ``static_hint`` turns on the exact fixed-point shortcut for
+        repeated-frame videos (see encode_streamed)."""
         from ..models.vae_streaming import encode_streamed
 
-        mu, _ = encode_streamed(self.vae, vae_params, video)
+        mu, _ = encode_streamed(self.vae, vae_params, video,
+                                static_hint=static_hint)
         return mu
 
     def decode_latents(self, vae_params, latents, normalize_output=True):

@@ -38,7 +38,11 @@ class WanControlPipeline(BasePipeline):
         parts = []
 
         if control_video is not None:
-            parts.append(self.encode_video(vae_params, control_video))
+            # 4D-STraG's control video is the first frame repeated
+            # (infer.py:830-846) — the static fixed-point shortcut skips
+            # converged encoder chunks and stays exact for real videos
+            parts.append(self.encode_video(vae_params, control_video,
+                                           static_hint=True))
         else:
             parts.append(jnp.zeros((b, tl, h, w, z), jnp.float32))
 
@@ -52,7 +56,8 @@ class WanControlPipeline(BasePipeline):
             t_frames = (tl - 1) * self.vae.cfg.temporal_ratio + 1
             depth_video = jnp.broadcast_to(
                 depth_image, (b, t_frames) + depth_image.shape[2:])
-            parts.append(self.encode_video(vae_params, depth_video))
+            parts.append(self.encode_video(vae_params, depth_video,
+                                           static_hint=True))
 
         return jnp.concatenate(parts, axis=-1)
 

@@ -107,3 +107,37 @@ def test_streaming_matches_full_wan_pattern():
     out_s = decode_streamed(model, params, mu_f)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_static_hint_encode_is_exact():
+    """The fixed-point shortcut (encode_streamed static_hint) is bitwise
+    exact for a repeated-frame video AND for a video that changes again
+    after repeating (the chunk-equality guard must re-enter compute)."""
+    import numpy as np
+
+    from more4d_tpu.config import vae_tiny
+    from more4d_tpu.models.vae_streaming import encode_streamed
+    from more4d_tpu.models.wan_vae import WanVAE
+
+    cfg = vae_tiny(dim_mult=(1, 2, 2), temporal_downsample=(False, True))
+    model = WanVAE(cfg)
+    rs = np.random.RandomState(0)
+    frame = jnp.asarray(rs.rand(1, 1, 16, 16, 3) * 2 - 1, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.broadcast_to(frame, (1, 5, 16, 16, 3)))
+
+    # repeated-frame video (long enough for the caches to converge)
+    t = 29
+    video = jnp.broadcast_to(frame, (1, t, 16, 16, 3))
+    ref = encode_streamed(model, params, video)
+    fast = encode_streamed(model, params, video, static_hint=True)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(fast[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(fast[1]))
+
+    # static prefix, then a different tail: the guard must recompute
+    tail = jnp.asarray(rs.rand(1, 8, 16, 16, 3) * 2 - 1, jnp.float32)
+    video2 = jnp.concatenate([jnp.broadcast_to(frame, (1, 21, 16, 16, 3)),
+                              tail], axis=1)
+    ref2 = encode_streamed(model, params, video2)
+    fast2 = encode_streamed(model, params, video2, static_hint=True)
+    np.testing.assert_array_equal(np.asarray(ref2[0]), np.asarray(fast2[0]))
