@@ -69,7 +69,6 @@ def bench_14b_measured():
     TPU-native). Times a real CFG-doubled denoise (scheduler step
     included) at the 49f/368x512 operating point."""
     from more4d_tpu.config import dit_14b
-    from more4d_tpu.diffusion import get_scheduler
     from more4d_tpu.models import WanDiT
     from more4d_tpu.parallel.offload import StreamedDiT, make_host_blocks
     from more4d_tpu.utils.flops import detect_tpu_peak, dit_forward_flops
@@ -92,18 +91,17 @@ def bench_14b_measured():
                                      jnp.bfloat16))
     neg = jnp.zeros_like(ctx)
 
-    def run(n):
-        sched = get_scheduler("flow", n, 3.0)
-        t0 = time.perf_counter()
-        out = sdit.denoise(sched, lat, ctx, neg_embeds=neg,
-                           guidance_scale=6.0, **kw)
-        _ = float(jnp.sum(jnp.abs(out).astype(jnp.float32)))
-        return time.perf_counter() - t0
+    from more4d_tpu.diffusion import get_scheduler
 
-    run(1)  # compile everything
-    t1 = min(run(1) for _ in range(2))
-    t4 = run(4)
-    step_s = (t4 - t1) / 3
+    # steady-state per-step wall time of a real 8-step denoise: the first
+    # two steps of a fresh process pay one-time compile/dispatch-path
+    # costs, so the median over steps [2:] is the honest per-step number
+    sched = get_scheduler("flow", 8, 3.0)
+    steps = []
+    out = sdit.denoise(sched, lat, ctx, neg_embeds=neg, guidance_scale=6.0,
+                       step_times=steps, **kw)
+    _ = float(jnp.sum(jnp.abs(out).astype(jnp.float32)))
+    step_s = float(np.median(steps[2:]))
     tokens = lt * (lh // 2) * (lw // 2)
     flops = dit_forward_flops(cfg, tokens, batch=2)
     peak = detect_tpu_peak()
@@ -356,7 +354,8 @@ def bench_train():
     tx = optax.adamw(2e-5)
     opt_state = tx.init(params)
     tcfg = StraagTrainConfig(world_size=1, use_ema=False)
-    step = jax.jit(make_train_step(dit, tx, tcfg))
+    step = jax.jit(make_train_step(dit, tx, tcfg),
+                   donate_argnums=(0, 1, 2))
     ema = None
     rng = jax.random.PRNGKey(1)
 

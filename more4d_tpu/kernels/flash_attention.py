@@ -34,6 +34,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # softmax via exp2: exp(x) == exp2(x * log2 e);
+                            # folding log2e into the scale trades the VPU's
+                            # exp for the cheaper exp2 (flash-attn's trick).
+                            # lse is stored in base-2 units, consistently
+                            # consumed by the backward kernels.
 NUM_SUBLANES = 8  # lse/delta row vectors are stored [bh, 8, Lq] (q on
                   # lanes, replicated over 8 sublanes) to satisfy the TPU
                   # (8, 128) block-shape constraint without relayouts in
@@ -59,7 +64,7 @@ def _flash_fwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    s = s * sm_scale
+    s = s * (sm_scale * LOG2E)
 
     if masked:
         b = pl.program_id(0) // num_heads
@@ -71,8 +76,8 @@ def _flash_fwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     l_prev = l_scr[:]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -84,7 +89,8 @@ def _flash_fwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     def _finalize():
         o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(
             o_ref.dtype)
-        lse = m_scr[:] + jnp.log(jnp.maximum(l_scr[:], 1e-30))  # [bq, 1]
+        # base-2 logsumexp (matches the exp2 backward recompute)
+        lse = m_scr[:] + jnp.log2(jnp.maximum(l_scr[:], 1e-30))  # [bq, 1]
         lse_ref[0] = jnp.broadcast_to(lse[:, 0][None, :],
                                       (NUM_SUBLANES, lse.shape[0]))
 
@@ -188,14 +194,14 @@ def _bwd_pt_block(q, k, lse_row, kv_lens_ref, ki, num_heads, block_k,
     """Recompute p^T [bk, bq] for one (q block, k block) pair."""
     s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    s_t = s_t * sm_scale
+    s_t = s_t * (sm_scale * LOG2E)
     if masked:
         b = pl.program_id(0) // num_heads
         kv_len = kv_lens_ref[b]
         row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32,
                                                       s_t.shape, 0)
         s_t = jnp.where(row < kv_len, s_t, NEG_INF)
-    return jnp.exp(s_t - lse_row[None, :])
+    return jnp.exp2(s_t - lse_row[None, :])
 
 
 def _flash_bwd_dq_kernel(kv_lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,

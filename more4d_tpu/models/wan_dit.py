@@ -534,6 +534,18 @@ class WanDiT(nn.Module):
             rope_sin=rope_sin, kv_lens=kv_lens, mpm_tokens=mpm_tokens,
             mpm_mask=mpm_mask, grid=grid, ref_tokens=ref_tokens)
 
+    def time_embed_e0(self, t):
+        """Timestep -> (e [N, D], e0 [N, 6, D]) — the adaLN projection of
+        the embed stage in isolation. e0 is the TeaCache decision
+        statistic and depends ONLY on t, so a whole denoise schedule's
+        skip pattern can be precomputed in one call (offload.py)."""
+        cfg = self.cfg
+        t = jnp.asarray(t)
+        emb = sinusoidal_embedding(cfg.freq_dim, t.reshape(-1))
+        e = self.time_fc2(nn.silu(self.time_fc1(emb)))
+        e0 = self.time_proj(nn.silu(e))
+        return e, e0.reshape(-1, 6, cfg.dim)
+
     def backbone(self, it: DiTIntermediates) -> jnp.ndarray:
         """The block stack; returns updated tokens (the teacache 'residual'
         is tokens_out - tokens_in, computed by the pipeline)."""

@@ -223,8 +223,9 @@ class StreamedDiT:
                                 rope_tables=self.rope_tables,
                                 method=WanDiT.embed, **kw)
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _backbone(self, hbs, it):
+    def backbone_inline(self, hbs, it):
+        """Traceable streamed block walk — usable inside a larger jitted
+        graph (the pipeline's fori_loop denoise)."""
         h = it.tokens
         mpm, mask = it.mpm_tokens, it.mpm_mask
         if mpm is None and self.cfg.motion_guidance:
@@ -237,6 +238,10 @@ class StreamedDiT:
                                   it.context, it.rope_cos, it.rope_sin,
                                   it.kv_lens, mpm, mask)
         return h
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _backbone(self, hbs, it):
+        return self.backbone_inline(hbs, it)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _finalize(self, resident, tokens, it):
@@ -256,10 +261,21 @@ class StreamedDiT:
                 y=None, clip_fea=None, mpm_features=None,
                 guidance_scale: float = 6.0, cfg_skip_ratio: float = 0.0,
                 teacache: Optional[_HostTeaCache] = None,
-                progress: bool = False):
+                progress: bool = False, step_times: Optional[list] = None):
         """Python-level denoise loop over jitted streamed steps, mirroring
         pipelines/base.py semantics (CFG batch-doubling, cfg-skip final
-        phase, TeaCache skip/replay)."""
+        phase, TeaCache skip/replay).
+
+        Dispatch discipline (all measured at 14B on the v5e relay):
+        - one whole-loop jitted graph: 23.8 s/step (the XLA while loop
+          defeats the copy/compute software pipelining);
+        - unfenced per-step dispatch: 7.2-10.8 s/step (queued 40x14-arg
+          calls degrade the relay);
+        - THIS: <=3 dispatches per step (embed -> backbone -> fused
+          finalize+guidance+scheduler tail), scalar-fenced: 5.4 s/step.
+        TeaCache decisions are precomputed for the WHOLE schedule from the
+        e0 trajectory (e0 = f(t) only, WanDiT.time_embed_e0), so skipped
+        steps cost 2 small dispatches and no mid-step readbacks."""
         import math as _math
 
         n = scheduler.num_steps
@@ -274,25 +290,51 @@ class StreamedDiT:
                 if do_cfg else prompt_embeds)
         y2, clip2, mpm2 = dup(y), dup(clip_fea), dup(mpm_features)
 
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def _combine_and_step(i, doubled, pred, latents, sched_state,
-                              guidance):
+        calc = [True] * n
+        if teacache is not None:
+            _, e0s = jax.jit(
+                lambda p, t: self.model.apply(p, t,
+                                              method=WanDiT.time_embed_e0)
+            )(self.resident, jnp.asarray(timesteps))
+            e0s = np.asarray(e0s.astype(jnp.float32))
+            calc = [teacache.should_calc(e0s[i:i + 1]) for i in range(n)]
+            calc[0] = True
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def _full_tail(doubled, resident, tokens, it, latents, sched_state,
+                       i, guidance):
+            residual = tokens - it.tokens
+            pred = self._finalize(resident, tokens, it)
             if doubled:
                 uncond, cond = pred[:b], pred[b:]
                 pred = uncond + guidance * (cond - uncond)
-            return scheduler.step(i, latents, pred.astype(jnp.float32),
-                                  sched_state)
+            latents, sched_state = scheduler.step(
+                i, latents, pred.astype(jnp.float32), sched_state)
+            return latents, sched_state, residual
 
-        @jax.jit
-        def _replay(it, residual, resident):
-            tokens = it.tokens + residual.astype(it.tokens.dtype)
-            return self._finalize(resident, tokens, it)
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def _replay_tail(doubled, resident, it, residual, latents,
+                         sched_state, i, guidance):
+            # cache_utils.py [-bs:] slice: the cond half when the phase
+            # narrows from CFG-doubled to cond-only
+            res = residual[-it.tokens.shape[0]:]
+            tokens = it.tokens + res.astype(it.tokens.dtype)
+            pred = self._finalize(resident, tokens, it)
+            if doubled:
+                uncond, cond = pred[:b], pred[b:]
+                pred = uncond + guidance * (cond - uncond)
+            latents, sched_state = scheduler.step(
+                i, latents, pred.astype(jnp.float32), sched_state)
+            return latents, sched_state
 
+        residual = None
         it_rng = range(n)
         if progress:
             import tqdm
             it_rng = tqdm.tqdm(it_rng)
+        import time as _time
         for i in it_rng:
+            _t0 = _time.perf_counter()
             doubled = do_cfg and i < n - n_skip
             if doubled:
                 x_in = jnp.concatenate([latents, latents], 0)
@@ -304,24 +346,58 @@ class StreamedDiT:
             t = jnp.broadcast_to(timesteps[i], (x_in.shape[0],))
             it = self._embed(self.resident, x_in, t, ctx_i, y_i, clip_i,
                              mpm_i)
-            if teacache is not None:
-                # decision from the (cond) e0; halves are identical under
-                # batch doubling since e0 = f(t) only
-                e0_host = np.asarray(it.e0[-1:].astype(jnp.float32))
-                calc = teacache.should_calc(e0_host)
-                res = teacache.residual
-                if res is not None:
-                    res = res[-x_in.shape[0]:]  # cache_utils [-bs:] slice
-                if calc or res is None:
-                    tokens = self._backbone(self.host_blocks, it)
-                    teacache.residual = (tokens - it.tokens)
-                    pred = self._finalize(self.resident, tokens, it)
-                else:
-                    pred = _replay(it, res, self.resident)
-            else:
+            ii = jnp.asarray(i, jnp.int32)
+            g = float(guidance_scale)
+            if calc[i] or residual is None:
                 tokens = self._backbone(self.host_blocks, it)
-                pred = self._finalize(self.resident, tokens, it)
-            latents, sched_state = _combine_and_step(
-                jnp.asarray(i, jnp.int32), doubled, pred, latents,
-                sched_state, float(guidance_scale))
+                latents, sched_state, residual = _full_tail(
+                    doubled, self.resident, tokens, it, latents,
+                    sched_state, ii, g)
+            else:
+                latents, sched_state = _replay_tail(
+                    doubled, self.resident, it, residual, latents,
+                    sched_state, ii, g)
+            # Fence each step with a scalar readback: queueing several
+            # streamed 40x14-arg dispatches degrades this environment's
+            # PJRT relay (measured 7.2 s/step chained vs 5.4 s/step
+            # fenced at 14B); the ~ms round trip is noise next to that.
+            float(latents[(0,) * latents.ndim])
+            if step_times is not None:
+                step_times.append(_time.perf_counter() - _t0)
+        if teacache is not None:
+            teacache.residual = residual
         return latents
+
+
+class StreamedPipelineAdapter:
+    """Duck-types the slice of the WanDiT interface that
+    pipelines/base.py touches (``apply`` with method=embed/backbone/
+    finalize, plus ``.cfg``) so a StreamedDiT can run inside the
+    pipeline's fully-jitted fori_loop denoise: the whole 50-step loop —
+    including the per-block pinned_host -> HBM weight streams and the
+    in-graph TeaCache lax.cond — becomes ONE dispatched program. This
+    sidesteps the PJRT-relay queue degradation of per-step dispatch
+    (measured 7.9 s/step dispatched vs 5.4 s/step in-graph at 14B).
+
+    Pipeline params for this dit: {"resident": ..., "hbs": tuple} —
+    closure-hoisted into the loop as pinned-host computation inputs.
+    """
+
+    def __init__(self, sdit: StreamedDiT):
+        self.sdit = sdit
+        self.cfg = sdit.cfg
+
+    def pipeline_params(self):
+        return {"resident": self.sdit.resident, "hbs": self.sdit.host_blocks}
+
+    def apply(self, params, *args, method=None, **kw):
+        model = self.sdit.model
+        if method is WanDiT.backbone:
+            return self.sdit.backbone_inline(params["hbs"], args[0])
+        if method is None:
+            it = model.apply(params["resident"], *args,
+                             method=WanDiT.embed, **kw)
+            tokens = self.sdit.backbone_inline(params["hbs"], it)
+            return model.apply(params["resident"], tokens, it,
+                               method=WanDiT.finalize)
+        return model.apply(params["resident"], *args, method=method, **kw)

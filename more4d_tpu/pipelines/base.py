@@ -102,8 +102,8 @@ class BasePipeline:
 
     # ---------------- denoise loop ---------------- #
 
-    def _build_step(self, cfg_double: bool):
-        dit, sched = self.dit, self.scheduler
+    def _build_step(self, cfg_double: bool, dit=None):
+        dit, sched = dit or self.dit, self.scheduler
         timesteps = jnp.asarray(sched.timesteps, jnp.float32)
         tc = self.teacache
 
@@ -131,9 +131,12 @@ class BasePipeline:
             should_calc = jnp.logical_or(warm, accum >= tc.rel_l1_thresh)
             accum = jnp.where(should_calc, 0.0, accum)
 
+            # residual kept in the model dtype — the reference stores it in
+            # x's dtype too (wan_transformer4d.py:1267-1270); fp32 would
+            # cost 2x HBM on the batched trajectory sweep
             def run(_):
                 tokens = dit.apply(params, it, method=WanDiT.backbone)
-                return tokens, (tokens - tokens_in).astype(jnp.float32)
+                return tokens, (tokens - tokens_in)
 
             def replay(_):
                 return (tokens_in
@@ -170,17 +173,19 @@ class BasePipeline:
 
         return step
 
-    def _teacache_state(self, batch, latents):
+    def _teacache_state(self, batch, latents, dit=None):
+        dit = dit or self.dit
         if self.teacache is None:
             return ()
-        f = latents.shape[1] // self.dit.cfg.patch_size[0]
-        hh = latents.shape[2] // self.dit.cfg.patch_size[1]
-        ww = latents.shape[3] // self.dit.cfg.patch_size[2]
-        d = self.dit.cfg.dim
+        f = latents.shape[1] // dit.cfg.patch_size[0]
+        hh = latents.shape[2] // dit.cfg.patch_size[1]
+        ww = latents.shape[3] // dit.cfg.patch_size[2]
+        d = dit.cfg.dim
         return {
             "prev_e0": jnp.zeros((batch, 6, d), jnp.float32),
             "accum": jnp.zeros((), jnp.float32),
-            "residual": jnp.zeros((batch, f * hh * ww, d), jnp.float32),
+            "residual": jnp.zeros((batch, f * hh * ww, d),
+                                  dit.cfg.dtype),
             "steps_seen": jnp.zeros((), jnp.int32),
         }
 
@@ -192,7 +197,13 @@ class BasePipeline:
         cfgp = self.config
         if guidance_scale is None:
             guidance_scale = cfgp.guidance_scale
+        dit = self.dit
         if self.streamed_dit is not None:
+            # Python-level fenced step loop (StreamedDiT.denoise): measured
+            # fastest on this relay (5.4 s/step at 14B) vs one whole-loop
+            # graph (23.8 s/step: the XLA while loop defeats copy/compute
+            # pipelining) or unfenced dispatch (7-11 s/step). TeaCache and
+            # cfg-skip semantics preserved (host-side, decision-precomputed).
             from ..parallel.offload import _HostTeaCache
 
             tc = None
@@ -220,7 +231,7 @@ class BasePipeline:
         if do_cfg and n_cfg > 0:
             ctx2 = jnp.concatenate([neg_embeds, prompt_embeds], axis=0)
             y2, clip2, mpm2 = dup(y), dup(clip_fea), dup(mpm_features)
-            step = self._build_step(cfg_double=True)
+            step = self._build_step(cfg_double=True, dit=dit)
 
             def body_a(i, carry):
                 return step(i, carry, dit_params, ctx2, y2, clip2, mpm2,
@@ -228,10 +239,11 @@ class BasePipeline:
 
             latents, sched_state, _ = jax.lax.fori_loop(
                 0, n_cfg, body_a,
-                (latents, sched_state, self._teacache_state(2 * b, latents)))
+                (latents, sched_state,
+                 self._teacache_state(2 * b, latents, dit)))
 
         if (not do_cfg) or n_skip > 0:
-            step = self._build_step(cfg_double=False)
+            step = self._build_step(cfg_double=False, dit=dit)
 
             def body_b(i, carry):
                 return step(i, carry, dit_params, prompt_embeds, y, clip_fea,
@@ -240,6 +252,7 @@ class BasePipeline:
             start = n_cfg if do_cfg else 0
             latents, sched_state, _ = jax.lax.fori_loop(
                 start, n, body_b,
-                (latents, sched_state, self._teacache_state(b, latents)))
+                (latents, sched_state,
+                 self._teacache_state(b, latents, dit)))
 
         return latents

@@ -99,9 +99,13 @@ class StraagTrainer:
             if tcfg.use_ema else None
         from ..models.vae_streaming import encode_streamed
 
+        # donate params/opt/ema: without donation the update holds OLD and
+        # NEW copies of 3x model-size state simultaneously (~19 GiB at
+        # 1.3B + AdamW on bf16) and OOMs the 16 GiB chip
         self.step_fn = jax.jit(make_train_step(
             dit, self.tx, tcfg, trainable_filter=trainable_filter,
-            report_grad_norms=report_grad_norms))
+            report_grad_norms=report_grad_norms),
+            donate_argnums=(0, 1, 2))
         # streamed (lax.scan) encode, matching pipelines/base.py and
         # train_vism: the fused full-sequence encoder materialises ~2 GB
         # activations per layer at 49f 368x512 and OOMs a 16 GiB chip
