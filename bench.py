@@ -164,8 +164,9 @@ def bench_two_stage():
 
     Runs with the REFERENCE INFERENCE DEFAULTS folded in (infer.py:
     1044-1048): TeaCache 0.10 / 5 warm steps, plus cfg-skip 0.15; the
-    11-trajectory stage-2 sweep is batched through ONE denoise loop
-    (stage2_inpaint_batch) instead of the reference's serial loop.
+    stage-2 trajectory sweep is batched through the denoise loop in
+    groups of MORE4D_BENCH_SWEEP_K (2 fits the 16 GiB v5e at 1.3B)
+    instead of the reference's serial loop.
 
     Stages (infer.py:1092-1142): depth lift -> STraG 50-step CFG denoise +
     VAE decode -> trajectory render sweep -> ViSM 50-step batched inpaint."""
@@ -295,7 +296,9 @@ def bench_two_stage():
     timings["stage2_compile_s"] = round(run_stage2(1), 2)
     timings["stage2_per_traj_s"] = round(min(run_stage2(1)
                                              for _ in range(2)), 2)
-    sweep_k = int(os.environ.get("MORE4D_BENCH_SWEEP_K", "11"))
+    # k=2 validated on the 16 GiB v5e (batch-4 CFG-doubled denoise);
+    # k>=6 exhausts HBM at 1.3B - larger chips can raise this
+    sweep_k = int(os.environ.get("MORE4D_BENCH_SWEEP_K", "2"))
     while sweep_k > 1:
         try:
             timings["stage2_sweep_compile_s"] = round(run_stage2(sweep_k), 2)

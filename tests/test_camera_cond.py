@@ -90,8 +90,8 @@ def test_dit_control_adapter_path():
     params = jax.tree_util.tree_unflatten(
         td, [jnp.asarray(rng.normal(0, 0.04, l.shape), l.dtype)
              for l in leaves])
-    out_a = model.apply(params, x, t, ctx, y=y, y_camera=cam, clip_fea=clip)
-    out_b = model.apply(params, x, t, ctx, y=y, y_camera=cam * 0 + 1,
-                        clip_fea=clip)
+    fwd = jax.jit(lambda p, **kw: model.apply(p, x, t, ctx, **kw))
+    out_a = fwd(params, y=y, y_camera=cam, clip_fea=clip)
+    out_b = fwd(params, y=y, y_camera=cam * 0 + 1, clip_fea=clip)
     assert out_a.shape == (1, 3, 8, 8, cfg.out_dim)
     assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 0

@@ -73,6 +73,7 @@ def test_streamed_fp8_close_to_scanned():
     assert rel < 0.15, rel  # fp8 weight quantization error only
 
 
+@pytest.mark.slow
 def test_streamed_denoise_matches_pipeline():
     """Streamed Python-loop denoise == jitted fori_loop pipeline denoise."""
     from more4d_tpu.diffusion import get_scheduler
