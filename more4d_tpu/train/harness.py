@@ -89,13 +89,21 @@ class StraagTrainer:
         self.validation_pipeline = validation_pipeline
 
         self.tx = tx if tx is not None else optax.adamw(tcfg.learning_rate)
+        # PRIVATE copies: the step jit donates params/opt/ema buffers, so
+        # the trainer must own them exclusively — device_put may alias the
+        # caller's arrays when the sharding already matches, and a donated
+        # alias would delete the caller's tree out from under them
         self.params = jax.tree_util.tree_map(
-            jax.device_put, dit_params, fsdp_sharding(dit_params, mesh))
+            lambda a, s: jnp.copy(jax.device_put(a, s)),
+            dit_params, fsdp_sharding(dit_params, mesh))
         self.opt_state = self.tx.init(self.params)
         self.opt_state = jax.tree_util.tree_map(
             jax.device_put, self.opt_state,
             fsdp_sharding(self.opt_state, mesh))
-        self.ema = jax.tree_util.tree_map(lambda x: x, self.params) \
+        # EMA must be a DISTINCT buffer copy — params and ema are both
+        # donated by the step jit, and aliased buffers would be donated
+        # twice (Execute() error)
+        self.ema = jax.tree_util.tree_map(jnp.copy, self.params) \
             if tcfg.use_ema else None
         from ..models.vae_streaming import encode_streamed
 

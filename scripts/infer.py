@@ -37,7 +37,10 @@ def parse_args():
     p.add_argument("--control_ckpt", required=True)
     p.add_argument("--inp_ckpt", required=True)
     p.add_argument("--vae_ckpt", required=True)
-    p.add_argument("--t5_ckpt", required=True)
+    p.add_argument("--t5_ckpt", default=None)
+    p.add_argument("--allow_dummy_text", action="store_true",
+                   help="run without a T5 checkpoint (zero text "
+                        "conditioning - smoke tests only)")
     p.add_argument("--tokenizer", default="google/umt5-xxl")
     p.add_argument("--clip_ckpt", default=None)
     p.add_argument("--omnimae_ckpt", default=None)
@@ -87,7 +90,10 @@ def parse_args():
                    help="sequence-parallel degree (Ulysses all-to-all "
                         "attention over the mesh seq axis — the "
                         "enable_multi_gpus_inference equivalent)")
-    p.add_argument("--model_size", default="14b", choices=["14b", "1.3b"])
+    p.add_argument("--model_size", default="14b",
+                   choices=["14b", "1.3b", "tiny"])
+    p.add_argument("--adaptor_ch", type=int, default=128,
+                   help="decoder-adaptor width (trajectory_module.py ch)")
     return p.parse_args()
 
 
@@ -114,11 +120,23 @@ def main():
     os.makedirs(args.output_dir, exist_ok=True)
 
     # ---- models
-    make_dit = dit_14b if args.model_size == "14b" else dit_1_3b
+    from more4d_tpu.config import dit_tiny
+    make_dit = {"14b": dit_14b, "1.3b": dit_1_3b,
+                "tiny": dit_tiny}[args.model_size]
     cfg4 = make_dit(motion_guidance=True, in_dim=64, model_type="i2v")
     cfg_inp = make_dit(motion_guidance=False, in_dim=36, model_type="i2v")
     dit4, dit_inp = WanDiT(cfg4), WanDiT(cfg_inp)
-    vae = WanVAE(VAEConfig())
+    if args.model_size == "tiny":
+        # smoke-test scale: tiny channels, same ratios/z_dim as the real
+        # VAE so the 64/36ch conditioning channel math is unchanged
+        # 4 stages like the real VAE: downsamples act at the 3 stage
+        # transitions, giving the same 4x temporal / 8x spatial ratios
+        vae_cfg = VAEConfig(dim=8, z_dim=16, dim_mult=(1, 1, 2, 2),
+                            num_res_blocks=1,
+                            temporal_downsample=(False, True, True))
+    else:
+        vae_cfg = VAEConfig()
+    vae = WanVAE(vae_cfg)
 
     print("loading checkpoints ...")
     p4 = load_wan_dit(args.control_ckpt, cfg4)
@@ -129,7 +147,7 @@ def main():
 
         lora = load_vism_lora(args.vism_lora, cfg_inp)
         p_inp = apply_lora(p_inp, lora, multiplier=args.lora_weight)
-    vae_params = load_wan_vae(args.vae_ckpt)
+    vae_params = load_wan_vae(args.vae_ckpt, vae_cfg)
 
     import torch
 
@@ -137,9 +155,11 @@ def main():
 
     encoders = build_encoders(
         t5_ckpt=args.t5_ckpt, tokenizer_path=args.tokenizer,
-        clip_ckpt=args.clip_ckpt, omnimae_ckpt=args.omnimae_ckpt)
+        clip_ckpt=args.clip_ckpt, omnimae_ckpt=args.omnimae_ckpt,
+        text_dim=cfg4.text_dim, text_len=cfg4.text_len,
+        allow_dummy_text=args.allow_dummy_text)
 
-    dec = VAEDecoderAdaptor()
+    dec = VAEDecoderAdaptor(ch=args.adaptor_ch)
     dec_params = convert_adaptor_state_dict(
         torch.load(args.decoder_adaptor, map_location="cpu",
                    weights_only=True), decoder=True)
