@@ -12,8 +12,9 @@ Reported alongside steps/s in the ONE default JSON line (VERDICT r2 weak
   fp8 block weights streamed from pinned host memory (parallel/offload.py),
   the only way 15.9 GiB of weights run on a 16 GiB chip;
 - "two_stage_1.3b": full image->4D e2e per-stage wall times at the
-  reference inference defaults (TeaCache 0.10 + cfg-skip 0.15), stage-2
-  11-sweep batched — against the <60 s north star (BASELINE.json);
+  reference inference defaults (TeaCache 0.10 + cfg-skip 0.15); the
+  11-trajectory estimate uses serial or batched stage-2, whichever
+  measures faster — against the <60 s north star (BASELINE.json);
 - "train_1.3b": full-fine-tune training step throughput;
 - vs_baseline compares against the committed bench_baseline.json (round-1
   measured value), no longer self-referential.
@@ -336,12 +337,17 @@ def bench_two_stage():
                    + timings["render_per_traj_s"]
                    + timings["stage2_per_traj_s"])
     timings["total_1traj_s"] = round(total_1traj, 2)
+    base = (timings["depth_lift_s"] + timings["stage1_s"]
+            + 11 * timings["render_per_traj_s"])
+    serial = base + 11 * timings["stage2_per_traj_s"]
+    timings["total_11traj_s"] = round(serial, 2)
+    timings["sweep_method"] = "serial"
     if timings.get("stage2_sweep_k"):
         k = timings["stage2_sweep_k"]
-        timings["total_11traj_s"] = round(
-            timings["depth_lift_s"] + timings["stage1_s"]
-            + 11 * timings["render_per_traj_s"]
-            + timings["stage2_sweep_batched_s"] * 11 / k, 2)
+        batched = base + timings["stage2_sweep_batched_s"] * 11 / k
+        if batched < serial:  # batching only wins when it actually wins
+            timings["total_11traj_s"] = round(batched, 2)
+            timings["sweep_method"] = f"batched_k{k}"
     return timings
 
 

@@ -70,10 +70,11 @@ def parse_args():
                         "(the 14B-on-one-chip memory mode; the reference's "
                         "sequential cpu-offload, infer.py:685-707). Implies "
                         "fp8 block storage.")
-    p.add_argument("--stage2_batch", type=int, default=2,
-                   help="trajectories per batched stage-2 denoise (1 = the "
-                        "reference's serial sweep; 2 fits a 16 GiB v5e at "
-                        "1.3B, raise on larger chips)")
+    p.add_argument("--stage2_batch", type=int, default=1,
+                   help="trajectories per batched stage-2 denoise. 1 (the "
+                        "reference's serial sweep) measures fastest on a "
+                        "16 GiB v5e at 1.3B; k=2 fits but does not pay; "
+                        "larger chips may benefit from bigger batches")
     # default: the native JAX UniDepth port (no torch in the live path);
     # "unidepth" selects the torch wrapper when that package is installed
     p.add_argument("--depth_provider", default="unidepth_jax",
