@@ -155,22 +155,23 @@ def bench_denoise():
         extra["tflops_per_s"] = round(flops * steps_per_sec / 1e12, 1)
         extra["mfu"] = round(flops * steps_per_sec / peak, 4)
         extra["model_flops_per_step_tf"] = round(flops / 1e12, 1)
-        # measured practical ceiling: one big ideal matmul on THIS chip —
-        # context for the MFU figure (nominal peak is not reachable even
-        # by a pure matmul through this runtime)
+        # measured practical ceiling: a chain of big ideal matmuls in ONE
+        # jitted loop (single dispatch — a per-call fence would measure
+        # the relay round trip, not the MXU) — context for the MFU figure
         try:
-            m, k_, n_ = 19136, 1536, 8960
-            a = jnp.zeros((m, k_), jnp.bfloat16)
-            w = jnp.zeros((k_, n_), jnp.bfloat16)
-            mm = jax.jit(lambda a, w: a @ w)
-            _ = float(jnp.sum(jnp.abs(mm(a, w)[:1, :1]).astype(jnp.float32)))
+            dim_c, n_mm = 4096, 200
+            x0 = jnp.full((dim_c, dim_c), 1e-3, jnp.bfloat16)
+            w = jnp.full((dim_c, dim_c), 1e-3, jnp.bfloat16)
+
+            chain_mm = jax.jit(lambda x, w: jax.lax.fori_loop(
+                0, n_mm, lambda i, a: (a @ w) * 1e-3, x))
+            _ = float(chain_mm(x0, w)[0, 0])
             ts = []
-            for _i in range(5):
+            for _i in range(3):
                 t0 = time.perf_counter()
-                _ = float(jnp.sum(jnp.abs(mm(a, w)[:1, :1]).astype(
-                    jnp.float32)))
+                _ = float(chain_mm(x0, w)[0, 0])
                 ts.append(time.perf_counter() - t0)
-            ceiling = 2 * m * k_ * n_ / min(ts) / 1e12
+            ceiling = n_mm * 2 * dim_c ** 3 / min(ts) / 1e12
             extra["matmul_ceiling_tflops"] = round(ceiling, 1)
             extra["pct_of_matmul_ceiling"] = round(
                 extra["tflops_per_s"] / ceiling, 4)

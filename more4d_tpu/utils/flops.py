@@ -55,6 +55,12 @@ def dit_forward_flops(cfg, num_tokens: int, batch: int = 1,
     per_block += 2 * 2 * lc * d * d          # cross-attn k,v
     per_block += 2 * 2 * lt * lc * d         # cross scores + PV
     per_block += 2 * 2 * lt * d * f          # FFN in/out
+    if getattr(cfg, "motion_guidance", False):
+        # MPM FiLM: two SpatialGuidance Dense(md -> 2d) over all L tokens
+        # per block (wan_transformer4d.py:739-783) — ~7% of 1.3B block
+        # FLOPs, real MXU work previously uncounted
+        md = cfg.motion_feature_dim
+        per_block += 2 * (2 * lt * md * 2 * d)
 
     patch = 2 * lt * (cfg.in_dim * cfg.patch_size[0] * cfg.patch_size[1]
                       * cfg.patch_size[2]) * d
