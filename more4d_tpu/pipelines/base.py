@@ -228,6 +228,7 @@ class BasePipeline:
 
         sched_state = self.scheduler.init_state(latents.shape)
 
+        tc_carry = None
         if do_cfg and n_cfg > 0:
             ctx2 = jnp.concatenate([neg_embeds, prompt_embeds], axis=0)
             y2, clip2, mpm2 = dup(y), dup(clip_fea), dup(mpm_features)
@@ -237,7 +238,7 @@ class BasePipeline:
                 return step(i, carry, dit_params, ctx2, y2, clip2, mpm2,
                             guidance_scale)
 
-            latents, sched_state, _ = jax.lax.fori_loop(
+            latents, sched_state, tc_carry = jax.lax.fori_loop(
                 0, n_cfg, body_a,
                 (latents, sched_state,
                  self._teacache_state(2 * b, latents, dit)))
@@ -249,10 +250,21 @@ class BasePipeline:
                 return step(i, carry, dit_params, prompt_embeds, y, clip_fea,
                             mpm_features, guidance_scale)
 
+            tc_state = self._teacache_state(b, latents, dit)
+            if self.teacache is not None and tc_carry:
+                # continue across the cfg-skip transition like the
+                # reference (cache_utils [-bs:]: the cond halves of the
+                # doubled-phase state; e0 halves are identical) instead
+                # of re-warming
+                tc_state = {
+                    "prev_e0": tc_carry["prev_e0"][-b:],
+                    "accum": tc_carry["accum"],
+                    "residual": tc_carry["residual"][-b:],
+                    "steps_seen": tc_carry["steps_seen"],
+                }
             start = n_cfg if do_cfg else 0
             latents, sched_state, _ = jax.lax.fori_loop(
                 start, n, body_b,
-                (latents, sched_state,
-                 self._teacache_state(b, latents, dit)))
+                (latents, sched_state, tc_state))
 
         return latents

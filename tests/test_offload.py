@@ -256,3 +256,40 @@ def test_pipeline_with_streamed_dit_matches():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_teacache_cfg_skip_continuation_consistency():
+    """The in-graph pipeline TeaCache (lax.cond + state threaded across
+    the cfg-skip phase transition) and the streamed host-side TeaCache
+    (precomputed decision schedule) both implement cache_utils.py
+    semantics — same inputs must give the same denoised output."""
+    from more4d_tpu.config import vae_tiny
+    from more4d_tpu.models.wan_vae import WanVAE
+    from more4d_tpu.pipelines import TeaCacheConfig, WanControlPipeline
+
+    model, params, x, t, ctx, kw = _tiny_model_and_inputs()
+    tc = TeaCacheConfig(coefficients=(0.0, 0.0, 0.0, 0.0, 1.0),
+                        rel_l1_thresh=1.5, num_skip_start_steps=2)
+    pcfg = PipelineConfig(num_inference_steps=8, num_frames=9, height=64,
+                          width=64, cfg_skip_ratio=0.3)
+    vae = WanVAE(vae_tiny())
+    latents = jax.random.normal(jax.random.PRNGKey(7), x.shape, jnp.float32)
+    neg = jax.random.normal(jax.random.PRNGKey(8), ctx.shape, jnp.bfloat16)
+
+    plain = WanControlPipeline(model, vae, pcfg, teacache=tc)
+    ref = plain.denoise(params, latents, ctx, neg_embeds=neg, y=kw["y"],
+                        clip_fea=kw["clip_fea"],
+                        mpm_features=kw["mpm_features"])
+
+    resident, stacked = split_block_params(params)
+    host = offload_blocks_to_host(stacked, model.cfg.num_layers,
+                                  quantize="bf16")
+    stream = WanControlPipeline(model, vae, pcfg, teacache=tc)
+    stream.streamed_dit = StreamedDiT(model, resident, host,
+                                      rope_tables=stream.rope_tables)
+    out = stream.denoise(params, latents, ctx, neg_embeds=neg, y=kw["y"],
+                         clip_fea=kw["clip_fea"],
+                         mpm_features=kw["mpm_features"])
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
