@@ -533,17 +533,17 @@ def main():
     steps_per_sec = res.get("value") or 0.0
     extra = res.get("extra", res)
     if os.environ.get("MORE4D_BENCH_14B", "1") == "1":
-        extra["14b_measured"] = _run_leg_subprocess("14b").get(
-            "extra", {"error": "no output"})
+        extra["14b_measured"] = (lambda r: r.get("extra", r))(
+            _run_leg_subprocess("14b"))
     if os.environ.get("MORE4D_BENCH_E2E", "1") == "1":
-        extra["two_stage_1.3b"] = _run_leg_subprocess("two_stage").get(
-            "extra", {"error": "no output"})
+        extra["two_stage_1.3b"] = (lambda r: r.get("extra", r))(
+            _run_leg_subprocess("two_stage"))
     if os.environ.get("MORE4D_BENCH_TRAIN", "1") == "1":
-        extra["train_1.3b"] = _run_leg_subprocess("train").get(
-            "extra", {"error": "no output"})
+        extra["train_1.3b"] = (lambda r: r.get("extra", r))(
+            _run_leg_subprocess("train"))
     if os.environ.get("MORE4D_BENCH_TEACACHE", "0") == "1":
-        extra["teacache_compare"] = _run_leg_subprocess("teacache").get(
-            "extra", {"error": "no output"})
+        extra["teacache_compare"] = (lambda r: r.get("extra", r))(
+            _run_leg_subprocess("teacache"))
 
     vs = 1.0
     base_path = os.path.join(os.path.dirname(__file__),

@@ -220,9 +220,10 @@ def stage2_inpaint_batch(m: TwoStageModels,
 
     latents = pipe.denoise(m.dit_inp_params, latents, prompt_embeds,
                            neg_embeds, y=y, clip_fea=clip_fea)
+    dc = max(decode_chunk, 1)
     outs = [np.asarray(pipe.decode_latents(m.vae_params,
-                                           latents[i:i + decode_chunk]))
-            for i in range(0, k, max(decode_chunk, 1))]
+                                           latents[i:i + dc]))
+            for i in range(0, k, dc)]
     return np.concatenate(outs, axis=0)
 
 
@@ -231,13 +232,14 @@ def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
                   depth: Optional[np.ndarray] = None,
                   trajectory_types=None, use_gs: bool = True,
                   rng: Optional[jax.Array] = None,
-                  stage2_batch: int = 11):
+                  stage2_batch: int = 1):
     """Single image -> list of inpainted novel-view videos (one per camera
     trajectory), plus the stage-1 point clouds.
 
     ``stage2_batch``: how many trajectories to inpaint per batched
-    pipeline call (1 reproduces the reference's serial sweep; the default
-    batches the whole 11-sweep through one denoise loop)."""
+    pipeline call. 1 (the default) reproduces the reference's serial
+    sweep, which also measures fastest on a 16 GiB v5e at 1.3B; k>=6
+    exhausts HBM there. Larger chips can raise it."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     r1, r2 = jax.random.split(rng)
     coords, colors = stage1_generate(m, image01, prompt, negative_prompt,

@@ -61,10 +61,28 @@ def _shardings(device=None):
     return s_host, s_dev
 
 
-def _quantize_leaf(a, quantize: str):
-    if quantize == "fp8" and hasattr(a, "ndim") and a.ndim >= 2:
+def _fp8_eligible(path: str, shape) -> bool:
+    """Same rule as utils/quantize._should_quantize: big matrices only —
+    norms/modulation/embedding tables stay high precision (the reference
+    converts Linear weights only, fp8_optimization.py:19)."""
+    if len(shape) < 2:
+        return False
+    low = path.lower()
+    return not any(k in low for k in ("norm", "modulation", "embedding"))
+
+
+def _quantize_leaf(a, quantize: str, path: str = ""):
+    if quantize == "fp8" and hasattr(a, "ndim") \
+            and _fp8_eligible(path, a.shape):
         return a.astype(jnp.float8_e4m3fn)
     return a.astype(jnp.bfloat16)
+
+
+def _walk_with_path(tree, fn, prefix=""):
+    if isinstance(tree, dict):
+        return {k: _walk_with_path(v, fn, f"{prefix}/{k}" if prefix else k)
+                for k, v in tree.items()}
+    return fn(tree, prefix)
 
 
 def split_block_params(params: Any) -> Tuple[Any, Any]:
@@ -81,15 +99,28 @@ def split_block_params(params: Any) -> Tuple[Any, Any]:
 
 def offload_blocks_to_host(stacked_blocks: Any, num_layers: int,
                            quantize: str = "fp8", device=None):
-    """Unstack per-layer block params, cast (fp8 for matrices, bf16 for
-    vectors — fp8_optimization.py:19 semantics), park in pinned host
-    memory. Returns a tuple of ``num_layers`` param trees."""
+    """Unstack per-layer block params, cast (fp8 for big matrices, bf16
+    for norms/modulation/vectors — fp8_optimization.py:19 semantics),
+    park in pinned host memory. Returns a tuple of ``num_layers`` trees.
+
+    Slicing happens host-side (numpy) BEFORE any device transfer: real
+    checkpoints arrive as numpy stacks, and slicing a device array per
+    layer would re-ship every full stacked leaf through the ~0.07 GB/s
+    client tunnel 40 times (and spike HBM with the multi-GiB stacks)."""
     s_host, _ = _shardings(device)
+    np_stacks = _walk_with_path(
+        stacked_blocks, lambda a, p: (np.asarray(a), p))
+
+    def _cast_np(a, path):
+        # cast in numpy (jnp float dtypes are ml_dtypes) so the one-time
+        # client upload ships fp8/bf16 bytes, not fp32
+        if quantize == "fp8" and _fp8_eligible(path, a.shape):
+            return a.astype(jnp.float8_e4m3fn)
+        return a.astype(jnp.bfloat16)
 
     def slice_layer(k):
-        layer = jax.tree.map(
-            lambda a: _quantize_leaf(jnp.asarray(a)[k], quantize),
-            stacked_blocks)
+        layer = _walk_with_path(
+            np_stacks, lambda ap, _p: _cast_np(ap[0][k], ap[1]))
         return jax.device_put(layer, s_host)
 
     host = tuple(slice_layer(k) for k in range(num_layers))
@@ -119,12 +150,13 @@ def make_host_blocks(model: WanDiT, num_layers: int, quantize: str = "fp8",
                             jnp.zeros((1,), jnp.float32),
                             jnp.zeros((1, cfg.text_len, cfg.text_dim),
                                       jnp.bfloat16), **kw)
-    blk_shapes = jax.tree.map(
-        lambda s: jax.ShapeDtypeStruct(
+    blk_shapes = _walk_with_path(
+        shapes["params"]["blocks"]["block"],
+        lambda s, p: jax.ShapeDtypeStruct(
             s.shape[1:],
-            jnp.float8_e4m3fn if (quantize == "fp8" and len(s.shape[1:]) >= 2)
-            else jnp.bfloat16),
-        shapes["params"]["blocks"]["block"])
+            jnp.float8_e4m3fn
+            if (quantize == "fp8" and _fp8_eligible(p, s.shape[1:]))
+            else jnp.bfloat16))
     rest_shapes = {"params": {k: v for k, v in shapes["params"].items()
                               if k != "blocks"}}
 
@@ -172,7 +204,8 @@ class _HostTeaCache:
 
     def should_calc(self, e0: np.ndarray) -> bool:
         e0 = np.asarray(e0, np.float32)
-        if self.cnt < self.num_skip_start_steps:
+        if self.cnt < self.num_skip_start_steps or self.prev_e0 is None:
+            # prev_e0 None covers num_skip_start_steps=0 on the first call
             calc = True
             self.accum = 0.0
         else:
@@ -204,6 +237,9 @@ class StreamedDiT:
         self.rope_tables = rope_tables
         self._block = WanBlock(self.cfg)
         _, self._s_dev = _shardings()
+        # tail jits cached per (scheduler, batch) — defining them inside
+        # denoise() would recompile per call
+        self._tails = {}
 
     def _dequant(self, w):
         return jax.tree.map(
@@ -247,6 +283,49 @@ class StreamedDiT:
     def _finalize(self, resident, tokens, it):
         return self.model.apply(resident, tokens, it,
                                 method=WanDiT.finalize)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _time_e0(self, resident, t):
+        return self.model.apply(resident, t, method=WanDiT.time_embed_e0)
+
+    def _get_tails(self, scheduler, b):
+        """(full_tail, replay_tail) jits for this scheduler/batch, cached
+        on the instance. Keyed by id(scheduler) — scheduler dataclasses
+        hold numpy arrays and are unhashable; the cache entry retains the
+        scheduler reference so the id cannot be recycled."""
+        key = (id(scheduler), b)
+        if key in self._tails:
+            return self._tails[key][1:]
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def full_tail(doubled, resident, tokens, it, latents, sched_state,
+                      i, guidance):
+            residual = tokens - it.tokens
+            pred = self._finalize(resident, tokens, it)
+            if doubled:
+                uncond, cond = pred[:b], pred[b:]
+                pred = uncond + guidance * (cond - uncond)
+            latents, sched_state = scheduler.step(
+                i, latents, pred.astype(jnp.float32), sched_state)
+            return latents, sched_state, residual
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def replay_tail(doubled, resident, it, residual, latents,
+                        sched_state, i, guidance):
+            # cache_utils.py [-bs:] slice: the cond half when the phase
+            # narrows from CFG-doubled to cond-only
+            res = residual[-it.tokens.shape[0]:]
+            tokens = it.tokens + res.astype(it.tokens.dtype)
+            pred = self._finalize(resident, tokens, it)
+            if doubled:
+                uncond, cond = pred[:b], pred[b:]
+                pred = uncond + guidance * (cond - uncond)
+            latents, sched_state = scheduler.step(
+                i, latents, pred.astype(jnp.float32), sched_state)
+            return latents, sched_state
+
+        self._tails[key] = (scheduler, full_tail, replay_tail)
+        return self._tails[key][1:]
 
     def __call__(self, x, t, ctx, *, y=None, clip_fea=None,
                  mpm_features=None):
@@ -292,41 +371,12 @@ class StreamedDiT:
 
         calc = [True] * n
         if teacache is not None:
-            _, e0s = jax.jit(
-                lambda p, t: self.model.apply(p, t,
-                                              method=WanDiT.time_embed_e0)
-            )(self.resident, jnp.asarray(timesteps))
+            _, e0s = self._time_e0(self.resident, jnp.asarray(timesteps))
             e0s = np.asarray(e0s.astype(jnp.float32))
             calc = [teacache.should_calc(e0s[i:i + 1]) for i in range(n)]
             calc[0] = True
 
-        @functools.partial(jax.jit, static_argnums=(0,))
-        def _full_tail(doubled, resident, tokens, it, latents, sched_state,
-                       i, guidance):
-            residual = tokens - it.tokens
-            pred = self._finalize(resident, tokens, it)
-            if doubled:
-                uncond, cond = pred[:b], pred[b:]
-                pred = uncond + guidance * (cond - uncond)
-            latents, sched_state = scheduler.step(
-                i, latents, pred.astype(jnp.float32), sched_state)
-            return latents, sched_state, residual
-
-        @functools.partial(jax.jit, static_argnums=(0,))
-        def _replay_tail(doubled, resident, it, residual, latents,
-                         sched_state, i, guidance):
-            # cache_utils.py [-bs:] slice: the cond half when the phase
-            # narrows from CFG-doubled to cond-only
-            res = residual[-it.tokens.shape[0]:]
-            tokens = it.tokens + res.astype(it.tokens.dtype)
-            pred = self._finalize(resident, tokens, it)
-            if doubled:
-                uncond, cond = pred[:b], pred[b:]
-                pred = uncond + guidance * (cond - uncond)
-            latents, sched_state = scheduler.step(
-                i, latents, pred.astype(jnp.float32), sched_state)
-            return latents, sched_state
-
+        _full_tail, _replay_tail = self._get_tails(scheduler, b)
         residual = None
         it_rng = range(n)
         if progress:
@@ -367,37 +417,3 @@ class StreamedDiT:
         if teacache is not None:
             teacache.residual = residual
         return latents
-
-
-class StreamedPipelineAdapter:
-    """Duck-types the slice of the WanDiT interface that
-    pipelines/base.py touches (``apply`` with method=embed/backbone/
-    finalize, plus ``.cfg``) so a StreamedDiT can run inside the
-    pipeline's fully-jitted fori_loop denoise: the whole 50-step loop —
-    including the per-block pinned_host -> HBM weight streams and the
-    in-graph TeaCache lax.cond — becomes ONE dispatched program. This
-    sidesteps the PJRT-relay queue degradation of per-step dispatch
-    (measured 7.9 s/step dispatched vs 5.4 s/step in-graph at 14B).
-
-    Pipeline params for this dit: {"resident": ..., "hbs": tuple} —
-    closure-hoisted into the loop as pinned-host computation inputs.
-    """
-
-    def __init__(self, sdit: StreamedDiT):
-        self.sdit = sdit
-        self.cfg = sdit.cfg
-
-    def pipeline_params(self):
-        return {"resident": self.sdit.resident, "hbs": self.sdit.host_blocks}
-
-    def apply(self, params, *args, method=None, **kw):
-        model = self.sdit.model
-        if method is WanDiT.backbone:
-            return self.sdit.backbone_inline(params["hbs"], args[0])
-        if method is None:
-            it = model.apply(params["resident"], *args,
-                             method=WanDiT.embed, **kw)
-            tokens = self.sdit.backbone_inline(params["hbs"], it)
-            return model.apply(params["resident"], tokens, it,
-                               method=WanDiT.finalize)
-        return model.apply(params["resident"], *args, method=method, **kw)

@@ -20,16 +20,12 @@ import jax.numpy as jnp
 import optax
 
 
-def make_adamw(lr: float, low_lr_names: Optional[str] = None,
-               low_lr_ratio: float = 0.1, betas=(0.9, 0.999),
-               weight_decay: float = 3e-2, eps: float = 1e-10,
-               params=None):
-    """AdamW with an optional low-LR parameter group selected by path regex
-    (the reference trains e.g. newly-initialised modules at full LR and the
-    backbone at a reduced LR; train_wan.py:1091-1142)."""
-    if low_lr_names is None:
-        return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
-                           weight_decay=weight_decay)
+def with_low_lr(make_tx, lr: float, low_lr_names: str,
+                low_lr_ratio: float, params):
+    """Two-tier LR via optax.multi_transform: params whose path matches
+    ``low_lr_names`` (regex) train at lr * low_lr_ratio, the rest at lr
+    (train_wan.py:1091-1142). Works for any lr -> transform factory
+    (AdamW, CAME, ...)."""
     assert params is not None
     pattern = re.compile(low_lr_names)
 
@@ -42,11 +38,22 @@ def make_adamw(lr: float, low_lr_names: Optional[str] = None,
         return walk(tree)
 
     return optax.multi_transform(
-        {"high": optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
-                             weight_decay=weight_decay),
-         "low": optax.adamw(lr * low_lr_ratio, b1=betas[0], b2=betas[1],
-                            eps=eps, weight_decay=weight_decay)},
+        {"high": make_tx(lr), "low": make_tx(lr * low_lr_ratio)},
         label(params))
+
+
+def make_adamw(lr: float, low_lr_names: Optional[str] = None,
+               low_lr_ratio: float = 0.1, betas=(0.9, 0.999),
+               weight_decay: float = 3e-2, eps: float = 1e-10,
+               params=None):
+    """AdamW with an optional low-LR parameter group selected by path regex
+    (the reference trains e.g. newly-initialised modules at full LR and the
+    backbone at a reduced LR; train_wan.py:1091-1142)."""
+    mk = lambda lr_: optax.adamw(lr_, b1=betas[0], b2=betas[1], eps=eps,
+                                 weight_decay=weight_decay)
+    if low_lr_names is None:
+        return mk(lr)
+    return with_low_lr(mk, lr, low_lr_names, low_lr_ratio, params)
 
 
 def ema_update(ema_params, params, decay: float = 0.9999):

@@ -222,7 +222,15 @@ def main():
     depth_kw = {}
     if args.depth_provider == "precomputed":
         depth_kw["directory"] = args.depth_dir
-    elif args.depth_provider == "unidepth_jax" and args.depth_ckpt:
+    elif args.depth_provider == "unidepth_jax":
+        if not args.depth_ckpt:
+            # random-weight depth would silently poison the whole 4D
+            # output — fail loudly like the missing-T5 case
+            raise SystemExit(
+                "--depth_provider unidepth_jax needs --depth_ckpt "
+                "(UniDepth-V2 torch checkpoint). Alternatives: "
+                "--depth_provider precomputed --depth_dir DIR, or "
+                "--depth_provider constant for smoke tests.")
         depth_kw["ckpt"] = args.depth_ckpt
     depth = get_depth_provider(args.depth_provider, **depth_kw)
 

@@ -199,7 +199,15 @@ def main():
     if args.optimizer == "came":
         from more4d_tpu.train import came
 
-        tx = came(args.learning_rate)
+        if args.low_lr_names:
+            # two-tier LR applies to CAME too (reference --use_came with
+            # param groups, train_wan.py:1128-1142)
+            from more4d_tpu.train.optim import with_low_lr
+
+            tx = with_low_lr(came, args.learning_rate, args.low_lr_names,
+                             args.low_lr_ratio, params)
+        else:
+            tx = came(args.learning_rate)
     elif args.low_lr_names:
         from more4d_tpu.train.optim import make_adamw
 
