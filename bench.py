@@ -191,6 +191,11 @@ def bench_two_stage():
     groups of MORE4D_BENCH_SWEEP_K (2 fits the 16 GiB v5e at 1.3B)
     instead of the reference's serial loop.
 
+    Honesty note: TeaCache decisions here run on the random weights' e0
+    trajectory, whose drift (and so skip rate) differs from a released
+    checkpoint's. The no-cache floor is derivable from the denoise leg
+    (50 / steps_per_sec per stage).
+
     Stages (infer.py:1092-1142): depth lift -> STraG 50-step CFG denoise +
     VAE decode -> trajectory render sweep -> ViSM 50-step batched inpaint."""
     import numpy as _np
