@@ -112,3 +112,32 @@ def test_infer_cli_end_to_end(tmp_path, ckpt_dir, monkeypatch):
         out_dir, [f for f in wrote if f.endswith("_coords.npy")][0]))
     assert coords.shape == (FRAMES, H * W, 3)
     assert np.isfinite(coords).all()
+
+
+def test_load_wan_dit_safetensors_dir(ckpt_dir, tmp_path):
+    """The released checkpoints ship as sharded safetensors directories
+    (diffusion_pytorch_model*.safetensors); loading one must equal
+    loading the torch .pth."""
+    from safetensors.numpy import save_file
+
+    from more4d_tpu.config import dit_tiny
+    from more4d_tpu.convert.dit_torch import load_wan_dit
+
+    sd = torch.load(ckpt_dir / "control.pth", map_location="cpu",
+                    weights_only=True)
+    np_sd = {k: v.numpy() for k, v in sd.items()}
+    keys = sorted(np_sd)
+    half = len(keys) // 2
+    d = tmp_path / "st_dir"
+    os.makedirs(d)
+    save_file({k: np_sd[k] for k in keys[:half]},
+              d / "diffusion_pytorch_model-00001-of-00002.safetensors")
+    save_file({k: np_sd[k] for k in keys[half:]},
+              d / "diffusion_pytorch_model-00002-of-00002.safetensors")
+
+    cfg = dit_tiny(motion_guidance=True, in_dim=64, model_type="i2v")
+    a = load_wan_dit(str(ckpt_dir / "control.pth"), cfg)
+    b = load_wan_dit(str(d), cfg)
+    for la, lb in zip(__import__("jax").tree.leaves(a),
+                      __import__("jax").tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
