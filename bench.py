@@ -29,6 +29,7 @@ lax.fori_loop and force a scalar readback; steps/sec = (N_hi - N_lo) /
 """
 
 import json
+import math
 import os
 import time
 
@@ -38,7 +39,11 @@ import numpy as np
 
 
 def _timed_chain(fn, params, x, t, ctx, y, clip, mpm, guidance=6.0):
-    """Build a jitted n-step CFG denoise chain (data-dependent across steps)."""
+    """Build a jitted n-step CFG denoise chain (data-dependent across steps).
+
+    ``n`` is a TRACED loop bound (fori_loop lowers to a while loop), so one
+    compile serves every chain length — the n_lo/n_hi pair used to cost two
+    full compiles of the 30-block graph (round-3 bench-budget fix)."""
 
     ctx2 = jnp.concatenate([ctx, ctx], 0)
     y2 = jnp.concatenate([y, y], 0)
@@ -56,9 +61,9 @@ def _timed_chain(fn, params, x, t, ctx, y, clip, mpm, guidance=6.0):
 
         return jax.lax.fori_loop(0, n, body, x)
 
-    jitted = jax.jit(chain, static_argnums=(7,))
+    jitted = jax.jit(chain)
     return lambda params, x, n: jitted(params, x, ctx2, y2, clip2, mpm2,
-                                       t2, n)
+                                       t2, jnp.asarray(n, jnp.int32))
 
 
 def bench_14b_measured():
@@ -138,8 +143,7 @@ def bench_denoise():
 
     n_lo = 1
     n_hi = int(os.environ.get("MORE4D_BENCH_ITERS", "8"))
-    run(n_lo)            # warmup/compile for n_lo graph
-    run(n_hi)            # warmup/compile for n_hi graph
+    run(n_lo)            # warmup/compile (one graph serves all n)
     t_lo = min(run(n_lo) for _ in range(2))
     t_hi = min(run(n_hi) for _ in range(2))
     steps_per_sec = (n_hi - n_lo) / max(t_hi - t_lo, 1e-9)
@@ -248,6 +252,27 @@ def bench_two_stage():
     prompt = mk(1, cfg4.text_len, cfg4.text_dim).astype(jnp.float32)
     timings = {}
 
+    # Pin the TeaCache skip pattern in the output (VERDICT r2: skip-rate
+    # variance was the prime suspect for run-to-run e2e instability).  The
+    # decision statistic e0 depends ONLY on (t, time-MLP weights)
+    # (WanDiT.time_embed_e0), so the whole 50-step pattern is computable
+    # up front and MUST match what the in-graph lax.cond loop does.
+    from more4d_tpu.diffusion import get_scheduler
+    from more4d_tpu.models.wan_dit import WanDiT as _WD
+    from more4d_tpu.parallel.offload import _HostTeaCache
+
+    def pinned_ncalc(dit, params):
+        sched = get_scheduler(pcfg.scheduler, steps, pcfg.shift)
+        _, e0s = dit.apply(params, jnp.asarray(sched.timesteps,
+                                               jnp.float32),
+                           method=_WD.time_embed_e0)
+        e0s = _np.asarray(e0s.astype(jnp.float32))
+        htc = _HostTeaCache(tc.coefficients, tc.rel_l1_thresh,
+                            tc.num_skip_start_steps)
+        calc = [htc.should_calc(e0s[i:i + 1]) for i in range(steps)]
+        calc[0] = True
+        return int(sum(calc))
+
     # NOTE: this environment's PJRT relay makes block_until_ready a no-op
     # on pending relay work; force a scalar readback to fence each stage.
     fence = lambda a: float(jnp.sum(jnp.abs(a).astype(jnp.float32)))  # noqa
@@ -263,6 +288,7 @@ def bench_two_stage():
 
     # stage 1: 50-step CFG-doubled control denoise + VAE decode
     control = jnp.broadcast_to(image[None, None], (1, t_frames, h, w, 3))
+    timings["stage1_teacache_ncalc"] = pinned_ncalc(dit4, p4)
 
     def run_stage1():
         t0 = time.perf_counter()
@@ -276,9 +302,12 @@ def bench_two_stage():
         return time.perf_counter() - t0
 
     timings["stage1_compile_s"] = round(run_stage1(), 2)
-    timings["stage1_s"] = round(min(run_stage1() for _ in range(2)), 2)
+    s1 = [round(run_stage1(), 2) for _ in range(2)]
+    timings["stage1_runs"] = s1           # spread visible, not averaged away
+    timings["stage1_s"] = round(float(_np.median(s1)), 2)
 
-    # render one trajectory of the 11-sweep
+    # render: one trajectory, then ALL 11 as ONE dispatch (exts differ per
+    # trajectory, the point cloud doesn't — tile frames axis 11x)
     coords = _np.asarray(coords0).reshape(-1, 3)
     coords_video = jnp.asarray(
         _np.repeat(coords[None], t_frames, 0), jnp.float32)
@@ -292,28 +321,58 @@ def bench_two_stage():
         fence(frames)
         timings["render_compile_s" if warm else "render_per_traj_s"] = \
             round(time.perf_counter() - t0, 2)
+    try:
+        from more4d_tpu.geometry.cameras import TRAJECTORY_TYPES
+        exts11 = _np.concatenate([
+            _np.asarray(generate_trajectory(name, coords.mean(0), t_frames,
+                                            **kwt))
+            for name, kwt in TRAJECTORY_TYPES], axis=0)
+        coords11 = jnp.tile(coords_video, (len(TRAJECTORY_TYPES), 1, 1))
+        t0 = time.perf_counter()
+        f11, _a11 = gs_render_tiled_video(coords11, colors,
+                                          jnp.asarray(exts11), intr, h, w)
+        fence(f11)
+        t0 = time.perf_counter()           # warm timing after compile
+        f11, _a11 = gs_render_tiled_video(coords11, colors,
+                                          jnp.asarray(exts11), intr, h, w)
+        fence(f11)
+        timings["render_11traj_batched_s"] = round(
+            time.perf_counter() - t0, 2)
+        del f11, _a11, coords11
+    except Exception as e:
+        timings["render_11traj_batched_error"] = \
+            f"{type(e).__name__}: {str(e)[:160]}"
 
     # teardown stage-1 models before stage 2 — the reference does exactly
     # this between stages (infer.py:997-1012 to-cpu + gc + empty_cache);
     # both 1.3B param sets + the batched sweep do not co-reside in 16 GiB
     import gc
-    del p4, ctrl, run_stage1, coords0, coords_video
+    del ctrl, run_stage1, coords0, coords_video
+    gc.collect()
+    timings["stage2_teacache_ncalc"] = pinned_ncalc(dit_inp, p_inp)
+    del p4
     gc.collect()
 
     # stage 2: 50-step inpaint — one trajectory, then the 11-sweep BATCHED
     video = frames.astype(jnp.float32) * 2 - 1
     mask = (alpha < 0.5).astype(jnp.float32)[..., None]
 
-    def run_stage2(k):
-        """Per-trajectory VAE encode (k honest encodes) + ONE batch-k
-        denoise + chunked decode — the stage2_inpaint_batch memory
-        discipline."""
+    def run_stage2(k, batched_encode=True):
+        """ONE batch-k VAE encode + ONE batch-k denoise + chunked decode.
+        ``batched_encode=False`` falls back to per-trajectory encodes (the
+        round-2 memory discipline) if the stacked encode OOMs."""
         pk = jnp.broadcast_to(prompt, (k,) + prompt.shape[1:])
         t0 = time.perf_counter()
         latents = inp.prepare_latents(rng, k)
-        ys = [inp.prepare_conditions(vp, latents[:1].shape, video[None],
-                                     mask[None]) for _ in range(k)]
-        y = jnp.concatenate(ys, axis=0)
+        if batched_encode and k > 1:
+            vid_k = jnp.broadcast_to(video[None], (k,) + video.shape)
+            msk_k = jnp.broadcast_to(mask[None], (k,) + mask.shape)
+            y = inp.prepare_conditions(vp, latents.shape, vid_k, msk_k)
+        else:
+            ys = [inp.prepare_conditions(vp, latents[:1].shape,
+                                         video[None], mask[None])
+                  for _ in range(k)]
+            y = jnp.concatenate(ys, axis=0)
         lat = inp.denoise(p_inp, latents, pk, neg_embeds=pk, y=y,
                           clip_fea=mk(k, cfg_inp.clip_tokens,
                                       cfg_inp.clip_dim))
@@ -322,35 +381,45 @@ def bench_two_stage():
         return time.perf_counter() - t0
 
     timings["stage2_compile_s"] = round(run_stage2(1), 2)
-    timings["stage2_per_traj_s"] = round(min(run_stage2(1)
-                                             for _ in range(2)), 2)
-    # k=2 validated on the 16 GiB v5e (batch-4 CFG-doubled denoise);
-    # k>=6 exhausts HBM at 1.3B - larger chips can raise this
-    sweep_k = int(os.environ.get("MORE4D_BENCH_SWEEP_K", "2"))
+    s2 = [round(run_stage2(1), 2) for _ in range(2)]
+    timings["stage2_runs"] = s2
+    timings["stage2_per_traj_s"] = round(float(_np.median(s2)), 2)
+    # k=4 fits the 16 GiB v5e at 1.3B with the batched encode in bf16
+    # pipeline dtype; OOM falls back to per-traj encode, then halves k
+    sweep_k = int(os.environ.get("MORE4D_BENCH_SWEEP_K", "4"))
+    batched_encode = True
     while sweep_k > 1:
         try:
-            timings["stage2_sweep_compile_s"] = round(run_stage2(sweep_k), 2)
-            timings["stage2_sweep_batched_s"] = round(run_stage2(sweep_k), 2)
+            timings["stage2_sweep_compile_s"] = round(
+                run_stage2(sweep_k, batched_encode), 2)
+            timings["stage2_sweep_batched_s"] = round(
+                run_stage2(sweep_k, batched_encode), 2)
             timings["stage2_sweep_k"] = sweep_k
+            timings["stage2_sweep_batched_encode"] = batched_encode
             break
-        except Exception as e:  # RESOURCE_EXHAUSTED -> halve the sweep batch
-            timings["stage2_sweep_error"] = f"k={sweep_k}: " \
-                f"{type(e).__name__}: {str(e)[:200]}"
+        except Exception as e:  # RESOURCE_EXHAUSTED -> degrade gracefully
+            timings["stage2_sweep_error"] = f"k={sweep_k} " \
+                f"benc={batched_encode}: {type(e).__name__}: {str(e)[:160]}"
             gc.collect()
-            sweep_k //= 2
+            if batched_encode:
+                batched_encode = False
+            else:
+                sweep_k //= 2
 
     total_1traj = (timings["depth_lift_s"] + timings["stage1_s"]
                    + timings["render_per_traj_s"]
                    + timings["stage2_per_traj_s"])
     timings["total_1traj_s"] = round(total_1traj, 2)
-    base = (timings["depth_lift_s"] + timings["stage1_s"]
-            + 11 * timings["render_per_traj_s"])
+    render11 = min(11 * timings["render_per_traj_s"],
+                   timings.get("render_11traj_batched_s", 1e9))
+    base = timings["depth_lift_s"] + timings["stage1_s"] + render11
     serial = base + 11 * timings["stage2_per_traj_s"]
     timings["total_11traj_s"] = round(serial, 2)
     timings["sweep_method"] = "serial"
     if timings.get("stage2_sweep_k"):
         k = timings["stage2_sweep_k"]
-        batched = base + timings["stage2_sweep_batched_s"] * 11 / k
+        batched = base + timings["stage2_sweep_batched_s"] \
+            * math.ceil(11 / k)
         if batched < serial:  # batching only wins when it actually wins
             timings["total_11traj_s"] = round(batched, 2)
             timings["sweep_method"] = f"batched_k{k}"
@@ -412,6 +481,156 @@ def bench_train():
             "step_ms": round(dt * 1e3, 1),
             "tflops_per_s": round(flops / dt / 1e12, 1),
             "mfu_3x_fwd": round(flops / dt / peak, 4)}
+
+
+def bench_train_14b_lora():
+    """14B LoRA training step, MEASURED on this chip: the frozen 17.04B
+    base streams fp8 from pinned host memory (forward + backward-recompute
+    walks), only the LoRA factors train (train/lora_streamed.py). This is
+    the single-chip TPU analog of the reference's ZeRO-2 multi-GPU 14B
+    LoRA fine-tune (4D_ViSM_training/train.py:859-868, train.sh).
+
+    Geometry: the ViSM InP target (i2v, 20ch conditioning, no motion
+    guidance) at the training operating point 49f/368x512, bs=1."""
+    import optax
+
+    from more4d_tpu.config import dit_14b
+    from more4d_tpu.models import WanDiT
+    from more4d_tpu.train.lora import create_lora
+    from more4d_tpu.train.lora_streamed import (StreamedLoRATrainer,
+                                                lora_block_paths)
+    from more4d_tpu.parallel.offload import make_host_blocks
+    from more4d_tpu.utils.flops import detect_tpu_peak, dit_forward_flops
+
+    frames, height, width = 49, 368, 512
+    lt, lh, lw = (frames - 1) // 4 + 1, height // 8, width // 8
+    cfg = dit_14b(motion_guidance=False, in_dim=36, model_type="i2v",
+                  dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    model = WanDiT(cfg)
+    rest, host = make_host_blocks(model, cfg.num_layers, quantize="fp8")
+
+    # LoRA factors need only the param-tree SHAPES (eval_shape, no 17B
+    # materialization)
+    mkz = lambda *s: jnp.zeros(s, jnp.bfloat16)  # noqa: E731
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), mkz(1, 2, 8, 8, 16),
+        jnp.zeros((1,), jnp.float32), mkz(1, cfg.text_len, cfg.text_dim),
+        y=mkz(1, 2, 8, 8, 20),
+        clip_fea=mkz(1, cfg.clip_tokens, cfg.clip_dim))
+    lora = create_lora(shapes, jax.random.PRNGKey(7))
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(lora["factors"])
+    trainer = StreamedLoRATrainer(
+        model, rest, host, tx, rel2full=lora_block_paths(lora["factors"]))
+
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1),
+                                     (1, lt, lh, lw, 16), jnp.float32),
+        "y": mkz(1, lt, lh, lw, 20).astype(jnp.float32),
+        "context": jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.float32),
+        "clip_fea": mkz(1, cfg.clip_tokens, cfg.clip_dim),
+    }
+
+    def run(i):
+        nonlocal lora, opt_state
+        t0 = time.perf_counter()
+        lora, opt_state, m = trainer.train_step(
+            lora, opt_state, batch, jax.random.PRNGKey(10 + i))
+        return time.perf_counter() - t0, float(m["loss"])
+
+    compile_s, _ = run(0)
+    times = [run(i)[0] for i in range(1, 4)]
+    dt = float(np.median(times))
+    tokens = lt * (lh // 2) * (lw // 2)
+    fwd = dit_forward_flops(cfg, tokens, batch=1)
+    peak = detect_tpu_peak()
+    return {
+        "steps_per_sec": round(1.0 / dt, 4),
+        "step_ms": round(dt * 1e3, 1),
+        "compile_s": round(compile_s, 1),
+        # useful = fwd + dgrad (base wgrad skipped: frozen); the bwd
+        # recompute adds another ~1x fwd of hardware work not counted here
+        "tflops_per_s_useful_2x_fwd": round(2 * fwd / dt / 1e12, 1),
+        "mfu_2x_fwd": round(2 * fwd / dt / peak, 4),
+        "method": "MEASURED: true 40-block fp8 base streamed from pinned "
+                  "host fwd+bwd, LoRA rank-4 factors resident+trained",
+    }
+
+
+def bench_two_stage_14b():
+    """The reference's actual flagship configuration: BOTH stages at true
+    14B (infer.py:1020,1028 pairs 14B Control with 14B InP). Each streamed
+    DiT runs a real reduced-step denoise (MORE4D_BENCH_14B_E2E_STEPS,
+    default 6) + VAE decode; 50-step totals extrapolate from the measured
+    steady-state per-step median (honestly labelled — a full 50x2-step run
+    is ~20 min, available via MORE4D_BENCH_14B_E2E_STEPS=50)."""
+    import gc
+
+    from more4d_tpu.config import VAEConfig, dit_14b
+    from more4d_tpu.diffusion import get_scheduler
+    from more4d_tpu.models import WanDiT
+    from more4d_tpu.models.wan_vae import WanVAE
+    from more4d_tpu.parallel.offload import StreamedDiT, make_host_blocks
+
+    frames, h, w = 49, 368, 512
+    lt, lh, lw = (frames - 1) // 4 + 1, h // 8, w // 8
+    n_steps = int(os.environ.get("MORE4D_BENCH_14B_E2E_STEPS", "6"))
+    out = {"measured_steps_per_stage": n_steps, "extrapolated_to": 50}
+    rng = jax.random.PRNGKey(0)
+    lat0 = jax.random.normal(rng, (1, lt, lh, lw, 16), jnp.float32)
+    vae = WanVAE(VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16))
+    vp = jax.jit(vae.init)(rng, jnp.zeros((1, 5, 64, 64, 3), jnp.bfloat16))
+    fence = lambda a: float(jnp.sum(jnp.abs(a).astype(jnp.float32)))  # noqa
+
+    def stage(tag, motion, in_dim):
+        cfg = dit_14b(motion_guidance=motion, in_dim=in_dim,
+                      model_type="i2v", dtype=jnp.bfloat16,
+                      param_dtype=jnp.bfloat16)
+        model = WanDiT(cfg)
+        t0 = time.perf_counter()
+        rest, host = make_host_blocks(model, cfg.num_layers, quantize="fp8")
+        sdit = StreamedDiT(model, rest, host)
+        out[f"{tag}_weights_park_s"] = round(time.perf_counter() - t0, 1)
+        ctx = jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+        kw = dict(y=jnp.zeros((1, lt, lh, lw, in_dim - 16), jnp.bfloat16),
+                  clip_fea=jnp.zeros((1, cfg.clip_tokens, cfg.clip_dim),
+                                     jnp.bfloat16))
+        if motion:
+            kw["mpm_features"] = jnp.zeros(
+                (1, 196, cfg.motion_feature_dim), jnp.bfloat16)
+        sched = get_scheduler("flow", n_steps, 3.0)
+        steps = []
+        t0 = time.perf_counter()
+        lat = sdit.denoise(sched, lat0, ctx, neg_embeds=jnp.zeros_like(ctx),
+                           guidance_scale=6.0, step_times=steps, **kw)
+        fence(lat)
+        out[f"{tag}_denoise_wall_s"] = round(time.perf_counter() - t0, 1)
+        step_s = float(np.median(steps[2:])) if len(steps) > 3 \
+            else float(np.median(steps))
+        out[f"{tag}_step_s"] = round(step_s, 2)
+
+        t0 = time.perf_counter()
+        dec = vae.apply(vp, lat.astype(jnp.bfloat16),
+                        method=WanVAE.decode)
+        fence(dec)
+        out[f"{tag}_vae_decode_s"] = round(time.perf_counter() - t0, 1)
+        out[f"{tag}_50step_extrap_s"] = round(
+            50 * step_s + out[f"{tag}_vae_decode_s"], 1)
+        del rest, host, sdit
+        gc.collect()
+
+    # stage 1: 14B 4D-STraG Control (motion guidance, 48ch conditioning)
+    stage("stage1_control", True, 64)
+    # stage 2: 14B ViSM InP (20ch inpaint conditioning)
+    stage("stage2_inp", False, 36)
+    out["total_1traj_50step_extrap_s"] = round(
+        out["stage1_control_50step_extrap_s"]
+        + out["stage2_inp_50step_extrap_s"], 1)
+    out["method"] = ("MEASURED per-step streamed denoise both stages; "
+                     "50-step totals extrapolated from steady-state "
+                     "median (render/depth excluded: identical to the "
+                     "1.3B leg's measured values)")
+    return out
 
 
 def bench_teacache():
@@ -497,6 +716,49 @@ def _run_leg_subprocess(mode: str, timeout: int = 1500):
                      f"{proc.stderr.strip()[-500:]}"}
 
 
+# Single-leg entry points: mode -> (metric name, runner).  Runners return
+# (value_or_None, extra_dict); value carries the leg's headline number.
+def _leg_denoise():
+    steps_per_sec, extra = bench_denoise()
+    return round(steps_per_sec, 4), extra
+
+
+_LEGS = {
+    "denoise": ("denoise_steps_per_sec", _leg_denoise),
+    "14b": ("14b_denoise", lambda: (None, bench_14b_measured())),
+    "two_stage": ("two_stage_e2e_seconds",
+                  lambda: ((lambda ts: (ts.get("total_1traj_s"), ts))
+                           (bench_two_stage()))),
+    "train": ("train_steps_per_sec", lambda: (None, bench_train())),
+    "train_14b_lora": ("train_14b_lora_steps_per_sec",
+                       lambda: (None, bench_train_14b_lora())),
+    "two_stage_14b": ("two_stage_14b_seconds",
+                      lambda: (None, bench_two_stage_14b())),
+    "teacache": ("teacache_speedup", lambda: (None, bench_teacache())),
+}
+
+# (extra-dict key, opt-out env var, floor seconds) per default-run leg, in
+# priority order.  The floor is the least remaining-budget a leg may start
+# with: warm-cache wall times measured on the v5e + margin.  A leg whose
+# floor exceeds the remaining budget is SKIPPED (recorded in legs_skipped),
+# never started-and-killed — a killed leg wastes its whole slice.
+_DEFAULT_RUN = [
+    ("denoise", "MORE4D_BENCH_DENOISE", 150),
+    ("14b_measured", "MORE4D_BENCH_14B", 150),
+    ("train_1.3b", "MORE4D_BENCH_TRAIN", 120),
+    ("train_14b_lora", "MORE4D_BENCH_14B_LORA", 200),
+    ("two_stage_1.3b", "MORE4D_BENCH_E2E", 280),
+    ("two_stage_14b", "MORE4D_BENCH_14B_E2E", 250),
+    ("teacache_compare", "MORE4D_BENCH_TEACACHE", 120),
+]
+_KEY_TO_MODE = {"14b_measured": "14b", "train_1.3b": "train",
+                "two_stage_1.3b": "two_stage",
+                "teacache_compare": "teacache"}
+# teacache duplicates information already in two_stage (accelerated vs
+# plain) — off by default; everything else runs when budget allows
+_DEFAULT_OFF = {"teacache_compare"}
+
+
 def main():
     cache_dir = os.environ.get("MORE4D_COMPILE_CACHE",
                                "/root/.cache/more4d_jax")
@@ -507,65 +769,75 @@ def main():
         pass
 
     mode = os.environ.get("MORE4D_BENCH_MODE", "all")
-    if mode == "denoise":
-        steps_per_sec, extra = bench_denoise()
-        print(json.dumps({"metric": "denoise_steps_per_sec",
-                          "value": round(steps_per_sec, 4),
-                          "unit": "steps/s", "extra": extra}))
-        return
-    if mode == "14b":
-        print(json.dumps({"metric": "14b_denoise",
-                          "extra": bench_14b_measured()}))
-        return
-    if mode == "two_stage":
-        ts = bench_two_stage()
-        print(json.dumps({"metric": "two_stage_e2e_seconds",
-                          "value": ts.get("total_1traj_s"),
-                          "unit": "s", "extra": ts}))
-        return
-    if mode == "train":
-        print(json.dumps({"metric": "train_steps_per_sec",
-                          "extra": bench_train()}))
-        return
-    if mode == "teacache":
-        print(json.dumps({"metric": "teacache_speedup",
-                          "extra": bench_teacache()}))
+    if mode in _LEGS:
+        metric, runner = _LEGS[mode]
+        value, extra = runner()
+        out = {"metric": metric, "extra": extra}
+        if value is not None:
+            out["value"] = value
+            out["unit"] = "steps/s" if "steps" in metric else "s"
+        print(json.dumps(out), flush=True)
         return
 
-    # default: ONE line carrying every driver-visible number; legs run in
-    # fresh subprocesses so they don't contend for HBM
-    res = _run_leg_subprocess("denoise")
-    steps_per_sec = res.get("value") or 0.0
-    extra = res.get("extra", res)
-    if os.environ.get("MORE4D_BENCH_14B", "1") == "1":
-        extra["14b_measured"] = (lambda r: r.get("extra", r))(
-            _run_leg_subprocess("14b"))
-    if os.environ.get("MORE4D_BENCH_E2E", "1") == "1":
-        extra["two_stage_1.3b"] = (lambda r: r.get("extra", r))(
-            _run_leg_subprocess("two_stage"))
-    if os.environ.get("MORE4D_BENCH_TRAIN", "1") == "1":
-        extra["train_1.3b"] = (lambda r: r.get("extra", r))(
-            _run_leg_subprocess("train"))
-    if os.environ.get("MORE4D_BENCH_TEACACHE", "0") == "1":
-        extra["teacache_compare"] = (lambda r: r.get("extra", r))(
-            _run_leg_subprocess("teacache"))
+    # Default: the driver runs plain `python bench.py` under a hard timeout
+    # (BENCH_r02 died at rc=124 with an empty tail because the old version
+    # printed once, at the very end).  Now: a global deadline
+    # (MORE4D_BENCH_BUDGET_S), legs in priority order, and the full
+    # cumulative JSON line RE-PRINTED after every completed leg — the
+    # driver keeps the last parseable line, so a kill at any point
+    # preserves everything finished so far.
+    t_start = time.time()
+    # Driver-timeout calibration: BENCH_r01 (a ~10-14 min run) completed,
+    # BENCH_r02 (a ~30 min run) was killed at rc=124 — so the driver
+    # allows at least ~15 min.  900 s of legs + incremental emission means
+    # even a kill mid-leg preserves every completed leg's numbers.
+    budget = float(os.environ.get("MORE4D_BENCH_BUDGET_S", "900"))
+    deadline = t_start + budget
+    size = os.environ.get("MORE4D_BENCH_SIZE", "1.3b")
+    metric = (f"dit_denoise_steps_per_sec_per_chip"
+              f"[{size},49f,368x512,cfg2x]")
+    extra = {"budget_s": budget, "legs_skipped": []}
+    steps_per_sec = 0.0
 
-    vs = 1.0
+    base = None
     base_path = os.path.join(os.path.dirname(__file__),
                              "bench_baseline.json")
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        if base.get("value") and steps_per_sec:
+
+    def emit():
+        vs = 1.0
+        if base and base.get("value") and steps_per_sec:
             vs = steps_per_sec / base["value"]
-    size = os.environ.get("MORE4D_BENCH_SIZE", "1.3b")
-    print(json.dumps({
-        "metric": f"dit_denoise_steps_per_sec_per_chip[{size},49f,368x512,cfg2x]",
-        "value": round(steps_per_sec, 4),
-        "unit": "steps/s",
-        "vs_baseline": round(vs, 4),
-        "extra": extra,
-    }))
+        extra["bench_elapsed_s"] = round(time.time() - t_start, 1)
+        print(json.dumps({"metric": metric,
+                          "value": round(steps_per_sec, 4),
+                          "unit": "steps/s",
+                          "vs_baseline": round(vs, 4),
+                          "extra": extra}), flush=True)
+
+    emit()  # heartbeat: a parseable line exists from second zero
+    for key, env_gate, floor_s in _DEFAULT_RUN:
+        default_on = "0" if key in _DEFAULT_OFF else "1"
+        if os.environ.get(env_gate, default_on) != "1":
+            continue
+        remaining = deadline - time.time()
+        if remaining < floor_s:
+            extra["legs_skipped"].append(
+                {"leg": key, "reason": f"{remaining:.0f}s left < "
+                                       f"{floor_s}s floor"})
+            continue
+        leg_mode = _KEY_TO_MODE.get(key, key)
+        res = _run_leg_subprocess(leg_mode, timeout=int(remaining))
+        if key == "denoise":
+            steps_per_sec = res.get("value") or 0.0
+            leg_extra = res.get("extra", res)
+            extra.update(leg_extra if isinstance(leg_extra, dict)
+                         else {"denoise": leg_extra})
+        else:
+            extra[key] = res.get("extra", res)
+        emit()
 
 
 if __name__ == "__main__":

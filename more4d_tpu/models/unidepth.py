@@ -335,7 +335,8 @@ def _conv_transpose(sd, p):
 
 def convert_unidepth_state_dict(sd, num_adapters: int = 4,
                                 camera_blocks: int = 2,
-                                depth_blocks: int = 4):
+                                depth_blocks: int = 4,
+                                backbone_depth: int = 24):
     """UniDepth-V2 torch state dict -> flax params.
 
     Backbone keys arrive under ``pixel_encoder.`` with official dinov2
@@ -357,7 +358,8 @@ def convert_unidepth_state_dict(sd, num_adapters: int = 4,
            if k.startswith("pixel_encoder.")}
     params = {}
     if enc:
-        params["pixel_encoder"] = convert_dinov2_state_dict(enc)["params"]
+        params["pixel_encoder"] = convert_dinov2_state_dict(
+            enc, depth=backbone_depth)["params"]
     # tolerate a pixel_decoder. prefix on the head keys
     sd = {(k[len("pixel_decoder."):] if k.startswith("pixel_decoder.")
            else k): v for k, v in sd.items()}
@@ -387,3 +389,106 @@ def convert_unidepth_state_dict(sd, num_adapters: int = 4,
                                                   f"depth_head.blocks.{i}")
     params["depth_head"] = dep
     return {"params": params}
+
+
+def unidepth_decoder_key_manifest(num_adapters: int = 4,
+                                  camera_blocks: int = 2,
+                                  depth_blocks: int = 4):
+    """The EXACT torch-side decoder key names ``convert_unidepth_state_dict``
+    consumes — the verification protocol for first contact with a real
+    ``UniDepthV2old`` checkpoint (infer.py:47,515-520): diff this list
+    against ``sd.keys()`` and every difference is either a rename to add
+    to the converter or an architecture gap to close (VERDICT r2 #5)."""
+    keys = []
+    for i in range(num_adapters):
+        keys += [f"input_adapters.{i}.weight", f"input_adapters.{i}.bias"]
+
+    def block(p):
+        out = []
+        for n in ("norm1", "norm_ctx", "norm2"):
+            out += [f"{p}.{n}.weight", f"{p}.{n}.bias"]
+        for m in ("q", "k", "v", "proj", "fc1", "fc2"):
+            out += [f"{p}.{m}.weight", f"{p}.{m}.bias"]
+        return out
+
+    keys.append("camera_head.camera_tokens")
+    for i in range(camera_blocks):
+        keys += block(f"camera_head.blocks.{i}")
+    keys += ["camera_head.norm.weight", "camera_head.norm.bias",
+             "camera_head.proj.weight", "camera_head.proj.bias",
+             "depth_head.ray_proj.weight", "depth_head.ray_proj.bias"]
+    for i in range(depth_blocks):
+        keys += block(f"depth_head.blocks.{i}")
+    keys += ["depth_head.norm.weight", "depth_head.norm.bias",
+             "depth_head.up1.weight", "depth_head.up1.bias",
+             "depth_head.up2.weight", "depth_head.up2.bias",
+             "depth_head.out.weight", "depth_head.out.bias"]
+    return keys
+
+
+def load_unidepth_strict(sd, model: "UniDepthV2" = None,
+                         num_adapters: int = 4, camera_blocks: int = 2,
+                         depth_blocks: int = 4, seed: int = 0):
+    """Strict checkpoint loader: convert + verify, failing LOUDLY with the
+    complete lists of (a) checkpoint keys the mapping never consumed,
+    (b) expected keys the checkpoint lacks, and (c) converted leaves whose
+    shapes disagree with the model graph.  Use this (not the tolerant
+    converter) on first contact with a real released checkpoint so that a
+    key-spelling or architecture drift surfaces as one readable error
+    instead of silently-initialized heads."""
+    model = model or UniDepthV2()
+    norm_sd = {(k[len("pixel_decoder."):]
+                if k.startswith("pixel_decoder.") else k): v
+               for k, v in sd.items()}
+    present = {k for k in norm_sd if not k.startswith("pixel_encoder.")}
+    manifest = set(unidepth_decoder_key_manifest(
+        num_adapters, camera_blocks, depth_blocks))
+    errors = []
+    missing = sorted(manifest - present)
+    unmapped = sorted(present - manifest)
+    if missing:
+        errors.append(f"checkpoint LACKS {len(missing)} expected decoder "
+                      f"keys:\n  " + "\n  ".join(missing))
+    if unmapped:
+        errors.append(f"checkpoint has {len(unmapped)} keys the converter "
+                      f"does NOT consume:\n  " + "\n  ".join(unmapped))
+    if missing:
+        # conversion would KeyError on the first absent key — report the
+        # complete structured diff instead
+        raise ValueError(
+            "UniDepth strict load failed "
+            f"({len(errors)} problem group(s)):\n\n" + "\n\n".join(errors))
+
+    converted = convert_unidepth_state_dict(
+        sd, num_adapters=num_adapters, camera_blocks=camera_blocks,
+        depth_blocks=depth_blocks, backbone_depth=model.backbone_depth)
+    dummy = jnp.zeros((1, 252, 336, 3), jnp.float32)
+    expect = jax.eval_shape(model.init, jax.random.PRNGKey(seed), dummy)
+
+    def walk(conv, exp, prefix=""):
+        if isinstance(conv, dict):
+            for k, v in conv.items():
+                if not isinstance(exp, dict) or k not in exp:
+                    errors.append(f"converted key {prefix}/{k} has no "
+                                  f"counterpart in the model graph")
+                    continue
+                walk(v, exp[k], f"{prefix}/{k}")
+            return
+        if tuple(conv.shape) != tuple(exp.shape):
+            errors.append(f"shape mismatch at {prefix}: checkpoint -> "
+                          f"{tuple(conv.shape)}, model expects "
+                          f"{tuple(exp.shape)}")
+
+    walk(converted["params"], expect["params"])
+    missing_model = [k for k in expect["params"]
+                     if k not in converted["params"]]
+    if missing_model:
+        errors.append("model subtrees not covered by the checkpoint: "
+                      + ", ".join(sorted(missing_model)))
+    if errors:
+        raise ValueError(
+            "UniDepth strict load failed "
+            f"({len(errors)} problem group(s)):\n\n" + "\n\n".join(errors))
+    init = model.init(jax.random.PRNGKey(seed), dummy)
+    init["params"].update(converted["params"])
+    return init

@@ -114,6 +114,8 @@ def offload_blocks_to_host(stacked_blocks: Any, num_layers: int,
     def _cast_np(a, path):
         # cast in numpy (jnp float dtypes are ml_dtypes) so the one-time
         # client upload ships fp8/bf16 bytes, not fp32
+        if quantize == "none":          # keep original dtype (parity tests)
+            return a
         if quantize == "fp8" and _fp8_eligible(path, a.shape):
             return a.astype(jnp.float8_e4m3fn)
         return a.astype(jnp.bfloat16)

@@ -51,6 +51,12 @@ def parse_args():
     p.add_argument("--num_frames", type=int, default=49)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--model_size", default="14b", choices=["14b", "1.3b"])
+    p.add_argument("--offload_blocks", action="store_true",
+                   help="stream the frozen base's block weights fp8 from "
+                        "pinned host memory for fwd AND bwd (the only way "
+                        "a 14B base trains on one 16 GiB chip; "
+                        "train/lora_streamed.py). LoRA factors stay "
+                        "HBM-resident.")
     p.add_argument("--resume", action="store_true")
     return p.parse_args()
 
@@ -94,11 +100,29 @@ def run_training(dit, base_params, vae, vae_params, encode_text,
     from more4d_tpu.utils.metrics import MetricsLogger
 
     tcfg = VismTrainConfig(learning_rate=args.learning_rate)
-    lora = create_lora(base_params, jax.random.PRNGKey(args.seed),
-                       rank=args.lora_rank, alpha=args.lora_alpha)
     tx = optax.adamw(args.learning_rate)
-    opt_state = tx.init(lora["factors"])
-    step_fn = jax.jit(make_vism_train_step(dit, tx, tcfg))
+    if getattr(args, "offload_blocks", False):
+        # 14B-on-one-chip path: frozen fp8 base streams from pinned host
+        # for the forward AND the backward recompute; only the LoRA
+        # factors (and optimizer state) live in HBM
+        from more4d_tpu.train.lora_streamed import make_streamed_lora_trainer
+
+        trainer, lora, opt_state = make_streamed_lora_trainer(
+            dit, base_params, tx, jax.random.PRNGKey(args.seed),
+            rank=args.lora_rank, alpha=args.lora_alpha, quantize="fp8",
+            max_grad_norm=tcfg.max_grad_norm,
+            mse_threshold=tcfg.mse_threshold, shift=tcfg.shift)
+        del base_params  # free host RAM: blocks now live in pinned memory
+
+        def step_fn(lora, opt_state, _base, batch, rng):
+            return trainer.train_step(lora, opt_state, batch, rng)
+
+        base_params = None
+    else:
+        lora = create_lora(base_params, jax.random.PRNGKey(args.seed),
+                           rank=args.lora_rank, alpha=args.lora_alpha)
+        opt_state = tx.init(lora["factors"])
+        step_fn = jax.jit(make_vism_train_step(dit, tx, tcfg))
 
     os.makedirs(args.output_dir, exist_ok=True)
     metrics = MetricsLogger(args.output_dir)

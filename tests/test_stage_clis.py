@@ -113,7 +113,8 @@ def test_prepare_vism_batch_t2v_zeroing(tiny_vae):
     assert float(jnp.abs(b0["y"]).max()) == 0.0  # t2v_flag zeroing
 
 
-def test_train_vism_cli_loop(tiny_vae, tmp_path):
+@pytest.mark.parametrize("offload", [False, True])
+def test_train_vism_cli_loop(tiny_vae, tmp_path, offload):
     from train_vism import run_training
 
     vae, vae_params = tiny_vae
@@ -137,7 +138,8 @@ def test_train_vism_cli_loop(tiny_vae, tmp_path):
     args = types.SimpleNamespace(
         learning_rate=1e-3, lora_rank=2, lora_alpha=2.0,
         output_dir=str(tmp_path / "out"), max_steps=2,
-        checkpointing_steps=2, log_steps=1, seed=0, resume=False)
+        checkpointing_steps=2, log_steps=1, seed=0, resume=False,
+        offload_blocks=offload)
 
     def samples():
         i = 0

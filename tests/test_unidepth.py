@@ -285,6 +285,60 @@ def _torch_mirror(dim=32, backbone_dim=48, n_adapt=4, cam_blocks=2,
     return TDecoder()
 
 
+def test_decoder_key_manifest_matches_mirror():
+    """The published manifest (the first-contact verification protocol,
+    VERDICT r2 #5) is EXACTLY the key set of the torch decoder mirror —
+    i.e. exactly what convert_unidepth_state_dict consumes."""
+    from more4d_tpu.models.unidepth import unidepth_decoder_key_manifest
+
+    mirror = _torch_mirror()
+    manifest = unidepth_decoder_key_manifest()
+    assert sorted(manifest) == sorted(mirror.state_dict().keys())
+
+
+def test_strict_loader_passes_and_fails_loudly():
+    """load_unidepth_strict: clean full checkpoint loads; a renamed key or
+    a wrong-shaped tensor fails with BOTH offending names in the error."""
+    import torch
+    from transformers import Dinov2Config, Dinov2Model
+
+    from more4d_tpu.models.unidepth import load_unidepth_strict
+
+    torch.manual_seed(0)
+    dim, backbone_dim = 32, 64
+    mirror = _torch_mirror(dim=dim, backbone_dim=backbone_dim)
+    sd = {f"pixel_decoder.{k}": v for k, v in mirror.state_dict().items()}
+    # image_size 518 -> 37x37 pos grid, matching DinoV2ViT's default
+    # pos_grid (the strict loader rightly rejects a mismatched pos_embed)
+    enc = Dinov2Model(Dinov2Config(
+        hidden_size=backbone_dim, num_hidden_layers=4,
+        num_attention_heads=2, intermediate_size=128, image_size=518,
+        patch_size=14, layerscale_value=1.0)).eval()
+    sd.update({f"pixel_encoder.{k}": v for k, v in
+               enc.state_dict().items()})
+    model = UniDepthV2(backbone_dim=backbone_dim, backbone_depth=4,
+                       backbone_heads=2, hidden_dim=dim,
+                       layer_ids=(0, 1, 2, 3))
+    params = load_unidepth_strict(sd, model)
+    assert "pixel_encoder" in params["params"]
+    assert "camera_head" in params["params"]
+
+    bad = dict(sd)
+    bad["camera_head.blocks.0.q.weight_RENAMED"] = \
+        bad.pop("pixel_decoder.camera_head.blocks.0.q.weight")
+    with pytest.raises(ValueError) as e:
+        load_unidepth_strict(bad, model)
+    assert "camera_head.blocks.0.q.weight" in str(e.value)
+    assert "weight_RENAMED" in str(e.value)
+
+    bad = dict(sd)
+    bad["pixel_decoder.depth_head.ray_proj.weight"] = torch.zeros(7, 7)
+    with pytest.raises(ValueError) as e:
+        load_unidepth_strict(bad, model)
+    assert "shape mismatch" in str(e.value)
+    assert "ray_proj" in str(e.value)
+
+
 def test_decoder_golden_vs_torch_mirror():
     """convert_unidepth_state_dict's decoder mapping + the JAX decoder
     reproduce the torch mirror bit-for-bit (within fp32 tolerance)."""
