@@ -321,27 +321,6 @@ def bench_two_stage():
         fence(frames)
         timings["render_compile_s" if warm else "render_per_traj_s"] = \
             round(time.perf_counter() - t0, 2)
-    try:
-        from more4d_tpu.geometry.cameras import TRAJECTORY_TYPES
-        exts11 = _np.concatenate([
-            _np.asarray(generate_trajectory(name, coords.mean(0), t_frames,
-                                            **kwt))
-            for name, kwt in TRAJECTORY_TYPES], axis=0)
-        coords11 = jnp.tile(coords_video, (len(TRAJECTORY_TYPES), 1, 1))
-        t0 = time.perf_counter()
-        f11, _a11 = gs_render_tiled_video(coords11, colors,
-                                          jnp.asarray(exts11), intr, h, w)
-        fence(f11)
-        t0 = time.perf_counter()           # warm timing after compile
-        f11, _a11 = gs_render_tiled_video(coords11, colors,
-                                          jnp.asarray(exts11), intr, h, w)
-        fence(f11)
-        timings["render_11traj_batched_s"] = round(
-            time.perf_counter() - t0, 2)
-        del f11, _a11, coords11
-    except Exception as e:
-        timings["render_11traj_batched_error"] = \
-            f"{type(e).__name__}: {str(e)[:160]}"
 
     # teardown stage-1 models before stage 2 — the reference does exactly
     # this between stages (infer.py:997-1012 to-cpu + gc + empty_cache);
@@ -390,6 +369,8 @@ def bench_two_stage():
     batched_encode = True
     while sweep_k > 1:
         try:
+            # one compile pass + ONE timed run (a second ~80 s k=4 run
+            # buys little precision; the run lists above carry the spread)
             timings["stage2_sweep_compile_s"] = round(
                 run_stage2(sweep_k, batched_encode), 2)
             timings["stage2_sweep_batched_s"] = round(
@@ -405,6 +386,35 @@ def bench_two_stage():
                 batched_encode = False
             else:
                 sweep_k //= 2
+                batched_encode = True  # re-try the batched encode smaller
+
+    # batched 11-trajectory render (ONE lax.map dispatch over 11*T frames)
+    # measured LAST: its ~1.2 GB output buffers must not sit in HBM while
+    # the stage-2 sweep probes for its largest workable batch (the k=2
+    # sweep that fit in round 2 OOM'd with these buffers resident)
+    try:
+        from more4d_tpu.geometry.cameras import TRAJECTORY_TYPES
+        del run_stage2
+        gc.collect()
+        cv = jnp.asarray(_np.repeat(coords[None], t_frames, 0), jnp.float32)
+        exts11 = _np.concatenate([
+            _np.asarray(generate_trajectory(name, coords.mean(0), t_frames,
+                                            **kwt))
+            for name, kwt in TRAJECTORY_TYPES], axis=0)
+        coords11 = jnp.tile(cv, (len(TRAJECTORY_TYPES), 1, 1))
+        for warm in (True, False):
+            t0 = time.perf_counter()
+            f11, _a11 = gs_render_tiled_video(
+                coords11, colors, jnp.asarray(exts11), intr, h, w)
+            fence(f11)
+            if not warm:
+                timings["render_11traj_batched_s"] = round(
+                    time.perf_counter() - t0, 2)
+        del f11, _a11, coords11, cv
+        gc.collect()
+    except Exception as e:
+        timings["render_11traj_batched_error"] = \
+            f"{type(e).__name__}: {str(e)[:160]}"
 
     total_1traj = (timings["depth_lift_s"] + timings["stage1_s"]
                    + timings["render_per_traj_s"]
@@ -521,7 +531,9 @@ def bench_train_14b_lora():
     tx = optax.adamw(1e-4)
     opt_state = tx.init(lora["factors"])
     trainer = StreamedLoRATrainer(
-        model, rest, host, tx, rel2full=lora_block_paths(lora["factors"]))
+        model, rest, host, tx, rel2full=lora_block_paths(lora["factors"]),
+        acts_on_host=True,
+        bwd_chunk=int(os.environ.get("MORE4D_LORA_BWD_CHUNK", "2")))
 
     batch = {
         "latents": jax.random.normal(jax.random.PRNGKey(1),

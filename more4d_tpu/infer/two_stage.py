@@ -141,22 +141,52 @@ def stage1_generate(m: TwoStageModels, image01: np.ndarray, prompt: str,
 
 def render_trajectories(coords: np.ndarray, colors: np.ndarray,
                         height: int, width: int,
-                        trajectory_types=None, use_gs: bool = True
+                        trajectory_types=None, use_gs: bool = True,
+                        batched: bool = True
                         ) -> List[Dict[str, np.ndarray]]:
     """Render the camera sweep for per-frame point clouds.
 
     coords: [T, N, 3]; colors: [N, 3] in [0, 1]. Returns a list of
-    {'name', 'frames' [T,H,W,3], 'mask' [T,H,W]} per trajectory."""
+    {'name', 'frames' [T,H,W,3], 'mask' [T,H,W]} per trajectory.
+
+    ``batched``: render the WHOLE sweep as one dispatch — trajectories
+    differ only in extrinsics, so all K x T frames concatenate along the
+    frame axis (the reference loops trajectories serially,
+    infer.py:906-924; one dispatch amortizes the per-call relay latency
+    and lets the Pallas rasteriser fill the chip).  Falls back to the
+    serial loop on memory pressure."""
     trajectory_types = trajectory_types or TRAJECTORY_TYPES
     t = coords.shape[0]
     center = coords.reshape(-1, 3).mean(axis=0)
     intr = get_intrinsic_matrix(height, width)
+    names = [f"{name}_{i}"
+             for i, (name, _kw) in enumerate(trajectory_types)]
+    exts_list = [generate_trajectory(name, center, t, **kw)
+                 for name, kw in trajectory_types]
+
+    if batched and len(trajectory_types) > 1:
+        try:
+            k = len(trajectory_types)
+            exts_all = jnp.asarray(np.concatenate(
+                [np.asarray(e) for e in exts_list], axis=0))
+            coords_all = jnp.tile(jnp.asarray(coords), (k, 1, 1))
+            cj = jnp.asarray(colors)
+            # mask ALWAYS from the z-buffer hole mask (infer.py:906-924)
+            zb_frames, hole = zbuffer_render_video(
+                coords_all, cj, exts_all, intr, height, width)
+            frames = zb_frames
+            if use_gs:
+                frames, _alpha = gs_render_tiled_video(
+                    coords_all, cj, exts_all, intr, height, width)
+            frames = np.asarray(frames).reshape(k, t, height, width, -1)
+            hole = np.asarray(hole).reshape(k, t, height, width)
+            return [{"name": n, "frames": frames[i], "mask": hole[i]}
+                    for i, n in enumerate(names)]
+        except Exception:
+            pass  # e.g. RESOURCE_EXHAUSTED on huge clouds -> serial
+
     out = []
-    for i, (name, kw) in enumerate(trajectory_types):
-        exts = generate_trajectory(name, center, t, **kw)
-        # The inpainting mask ALWAYS comes from the z-buffer projection's
-        # hole mask (render_trajectory returns project_masks,
-        # infer.py:906-924 — the GS pass only supplies RGB frames).
+    for name_i, exts in zip(names, exts_list):
         zb_frames, hole = zbuffer_render_video(
             jnp.asarray(coords), jnp.asarray(colors),
             jnp.asarray(exts), intr, height, width)
@@ -169,7 +199,7 @@ def render_trajectories(coords: np.ndarray, colors: np.ndarray,
                 jnp.asarray(exts), intr, height, width)
         else:
             frames = zb_frames
-        out.append({"name": f"{name}_{i}", "frames": np.asarray(frames),
+        out.append({"name": name_i, "frames": np.asarray(frames),
                     "mask": np.asarray(hole)})
     return out
 
@@ -194,26 +224,39 @@ def stage2_inpaint_batch(m: TwoStageModels,
 
     The reference runs the 11-trajectory sweep serially
     (infer.py:961-989); here the 50-step denoise — the dominant cost —
-    runs batch-K. Memory discipline on a 16 GiB chip: the VAE *encode* of
-    each trajectory's masked video runs per-trajectory (a batched encode
-    would materialise K full fp32 videos + masks at once), and the final
-    *decode* runs in ``decode_chunk`` groups. Returns [K,T,H,W,3] in
-    [0, 1]."""
+    runs batch-K, and the VAE *encode* of the K masked videos runs as ONE
+    batched call too (a [K,T,H,W,3] video stack is only ~K x 110 MB; the
+    encode activations dominate and the fallback drops to per-trajectory
+    encodes if the stacked graph exhausts HBM).  The final *decode* runs
+    in ``decode_chunk`` groups. Returns [K,T,H,W,3] in [0, 1]."""
     rng = rng if rng is not None else jax.random.PRNGKey(1)
     pipe = m.inpaint_pipeline
     k = len(renders)
     latents = pipe.prepare_latents(rng, k)
 
-    ys, clips = [], []
-    for r in renders:
-        video = jnp.asarray(r["frames"], jnp.float32)[None] * 2.0 - 1.0
-        mask = jnp.asarray(r["mask"], jnp.float32)[None, ..., None]
-        ys.append(pipe.prepare_conditions(m.vae_params, latents[:1].shape,
-                                          video, mask))
-        if m.encode_image_clip is not None:
-            clips.append(m.encode_image_clip(
-                jnp.asarray(r["frames"][:1]) * 2.0 - 1.0))
-    y = jnp.concatenate(ys, axis=0)
+    y, clips = None, []
+    if k > 1:
+        try:
+            video_k = jnp.asarray(
+                np.stack([r["frames"] for r in renders]),
+                jnp.float32) * 2.0 - 1.0
+            mask_k = jnp.asarray(np.stack([r["mask"] for r in renders]),
+                                 jnp.float32)[..., None]
+            y = pipe.prepare_conditions(m.vae_params, latents.shape,
+                                        video_k, mask_k)
+        except Exception:
+            y = None  # RESOURCE_EXHAUSTED -> per-trajectory encodes
+    if y is None:
+        ys = []
+        for r in renders:
+            video = jnp.asarray(r["frames"], jnp.float32)[None] * 2.0 - 1.0
+            mask = jnp.asarray(r["mask"], jnp.float32)[None, ..., None]
+            ys.append(pipe.prepare_conditions(
+                m.vae_params, latents[:1].shape, video, mask))
+        y = jnp.concatenate(ys, axis=0)
+    if m.encode_image_clip is not None:
+        clips = [m.encode_image_clip(
+            jnp.asarray(r["frames"][:1]) * 2.0 - 1.0) for r in renders]
     clip_fea = jnp.concatenate(clips, axis=0) if clips else None
     prompt_embeds = jnp.tile(m.encode_text([prompt]), (k, 1, 1))
     neg_embeds = jnp.tile(m.encode_text([negative_prompt]), (k, 1, 1))

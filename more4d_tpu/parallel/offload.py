@@ -238,7 +238,7 @@ class StreamedDiT:
         self.host_blocks = tuple(host_blocks)
         self.rope_tables = rope_tables
         self._block = WanBlock(self.cfg)
-        _, self._s_dev = _shardings()
+        self._s_host, self._s_dev = _shardings()
         # tail jits cached per (scheduler, batch) — defining them inside
         # denoise() would recompile per call
         self._tails = {}

@@ -74,10 +74,22 @@ class StreamedLoRATrainer(StreamedDiT):
                  max_grad_norm: float = 1.0, mse_threshold: float = 50.0,
                  shift: float = 5.0, num_train_timesteps: int = 1000,
                  uniform_sampling: bool = True, world_size: int = 1,
-                 rope_tables=None):
+                 rope_tables=None, acts_on_host: bool = False,
+                 bwd_chunk: int = 4):
         super().__init__(model, resident, host_blocks,
                          rope_tables=rope_tables)
         self.tx = tx
+        # park the saved per-block inputs in pinned host memory between the
+        # walks (40 x ~98 MB at the 14B operating point would otherwise
+        # pin ~3.9 GiB of HBM across the whole step); each one streams
+        # back into HBM right before its block's backward recompute
+        self.acts_on_host = bool(acts_on_host)
+        # the backward walk runs in chunks of ``bwd_chunk`` blocks per
+        # jitted graph: one 40-block backward graph needs 41.7 GiB of HLO
+        # temps on the v5e (XLA interleaves the independent per-block VJP
+        # outputs instead of serialising them), so the live set must be
+        # bounded by construction.  All full chunks share ONE compile.
+        self.bwd_chunk = max(int(bwd_chunk), 1)
         self.scale = float(lora_multiplier * lora_alpha / lora_rank)
         self.rel2full = rel2full or {}
         self.max_grad_norm = float(max_grad_norm)
@@ -90,23 +102,37 @@ class StreamedLoRATrainer(StreamedDiT):
 
     # ------------------------------------------------------------------ #
 
-    def _merge_block(self, w_tree, factors_k):
-        """One layer's merged weights: W + scale * down @ up on matched
-        kernels — the same formula as train/lora.py apply_lora (delta cast
-        to the base dtype first, so bf16 runtime matches merge-at-load)."""
+    def _apply_block_lora(self, w_tree, factors_k, h, it, mpm, mask):
+        """Apply one block with LoRA as a SIDE-PATH on every matched Dense:
+        ``dense(x) + scale * (x @ down) @ up``.
 
-        def walk(tree, prefix=""):
-            if isinstance(tree, dict):
-                return {k: walk(v, f"{prefix}/{k}" if prefix else k)
-                        for k, v in tree.items()}
-            full = self.rel2full.get(prefix)
-            if full is None or full not in factors_k:
-                return tree
-            f = factors_k[full]
-            delta = jnp.matmul(f["down"], f["up"]).astype(tree.dtype)
-            return tree + self.scale * delta
+        Mathematically identical to merging ``W + scale * down @ up``
+        (x @ (W + sD) + b == (x @ W + b) + s * (x @ down) @ up), but the
+        merge materializes a full-size delta AND a merged copy of every
+        weight matrix — ~1.7 GiB extra in flight per 14B block, which is
+        exactly what OOM'd the streamed forward walk on the 16 GiB v5e.
+        The side-path adds only O(L * r * (in + out)) flops and memory."""
+        import flax.linen as fnn
 
-        return walk(w_tree)
+        def interceptor(next_fn, args, kwargs, context):
+            out = next_fn(*args, **kwargs)
+            if (context.method_name == "__call__"
+                    and isinstance(context.module, fnn.Dense)):
+                rel = "/".join(str(p) for p in context.module.path) \
+                    + "/kernel"
+                f = factors_k.get(self.rel2full.get(rel, rel))
+                if f is not None:
+                    x = args[0]
+                    d = f["down"].astype(out.dtype)
+                    u = f["up"].astype(out.dtype)
+                    out = out + self.scale * jnp.matmul(
+                        jnp.matmul(x.astype(out.dtype), d), u)
+            return out
+
+        with fnn.intercept_methods(interceptor):
+            return self._block.apply({"params": w_tree}, h, it.e0,
+                                     it.context, it.rope_cos, it.rope_sin,
+                                     it.kv_lens, mpm, mask)
 
     def _slice_layer(self, factors, k):
         return {p: {"down": f["down"][k], "up": f["up"][k]}
@@ -136,20 +162,22 @@ class StreamedLoRATrainer(StreamedDiT):
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _fwd_collect(self, hbs, factors, it):
-        """Forward walk; returns (tokens_out, stacked per-block inputs).
+        """Forward walk; returns (tokens_out, tuple of per-block inputs —
+        NOT one stacked array: 40 separate ~98 MB buffers avoid a single
+        multi-GiB contiguous allocation, and with ``acts_on_host`` each is
+        device_put to pinned host as soon as the next block consumes it).
         ONE graph: XLA overlaps block k+1's host->HBM copy with block k's
         compute and frees each block's weight buffers after use."""
         mpm, mask = self._block_args(it)
         h = it.tokens
         saved = []
         for k, w in enumerate(hbs):
-            saved.append(h)
+            saved.append(jax.device_put(h, self._s_host)
+                         if self.acts_on_host else h)
             wd = self._dequant(jax.device_put(w, self._s_dev))
-            merged = self._merge_block(wd, self._slice_layer(factors, k))
-            h = self._block.apply({"params": merged}, h, it.e0, it.context,
-                                  it.rope_cos, it.rope_sin, it.kv_lens,
-                                  mpm, mask)
-        return h, jnp.stack(saved)
+            h = self._apply_block_lora(wd, self._slice_layer(factors, k),
+                                       h, it, mpm, mask)
+        return h, tuple(saved)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _loss_tail(self, resident, tokens, it, target):
@@ -164,27 +192,63 @@ class StreamedLoRATrainer(StreamedDiT):
         return jax.value_and_grad(lf)(tokens)
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _bwd_collect(self, hbs, factors, saved, it, g):
-        """Backward walk: per block (reverse order) re-stream the weights,
-        recompute the block forward inside jax.vjp, and pull gradients to
-        (layer-k LoRA factors, block input). Returns stacked factor grads
-        in the layout of ``lora['factors']``."""
+    def _slice_factor_chunk(self, factors, k0):
+        """Layers [k0, k0 + bwd_chunk) of the stacked factor tree (one
+        compile for every chunk: k0 is traced, the length static)."""
+        g = self.bwd_chunk
+        return {p: {"down": jax.lax.dynamic_slice_in_dim(f["down"], k0, g),
+                    "up": jax.lax.dynamic_slice_in_dim(f["up"], k0, g)}
+                for p, f in factors.items()}
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _bwd_chunk_fn(self, hbs_chunk, factors_chunk, saved_chunk, it, g):
+        """Backward over ONE chunk of blocks (reverse order): re-stream
+        each block's weights, recompute its forward inside jax.vjp, pull
+        gradients to (its LoRA factors, its input).  Returns (stacked
+        factor grads [G, ...] for the chunk, cotangent for the previous
+        chunk's output)."""
         mpm, mask = self._block_args(it)
-        g_layers = [None] * len(hbs)
-        for k in reversed(range(len(hbs))):
-            wd = self._dequant(jax.device_put(hbs[k], self._s_dev))
-            fk = self._slice_layer(factors, k)
+        n = len(hbs_chunk)
+        g_layers = [None] * n
+        for j in reversed(range(n)):
+            wd = self._dequant(jax.device_put(hbs_chunk[j], self._s_dev))
+            fj = self._slice_layer(factors_chunk, j)
+            h_in = (jax.device_put(saved_chunk[j], self._s_dev)
+                    if self.acts_on_host else saved_chunk[j])
 
-            def f(fak, hh, wd=wd):
-                merged = self._merge_block(wd, fak)
-                return self._block.apply({"params": merged}, hh, it.e0,
-                                         it.context, it.rope_cos,
-                                         it.rope_sin, it.kv_lens, mpm, mask)
+            def f(faj, hh, wd=wd):
+                return self._apply_block_lora(wd, faj, hh, it, mpm, mask)
 
-            _, vjp = jax.vjp(f, fk, saved[k])
-            g_fk, g = vjp(g)
-            g_layers[k] = g_fk
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *g_layers)
+            _, vjp = jax.vjp(f, fj, h_in)
+            g_fj, g = vjp(g)
+            g_layers[j] = g_fj
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *g_layers), g
+
+    def _bwd_collect(self, hbs, factors, saved, it, g):
+        """Chunked backward walk (Python loop over jitted chunk graphs;
+        the cotangent chains the dispatches so they serialise naturally).
+        Returns stacked factor grads in the layout of lora['factors']."""
+        n = len(hbs)
+        gsz = self.bwd_chunk
+        chunks = []
+        for k0 in range(((n - 1) // gsz) * gsz, -1, -gsz):
+            k1 = min(k0 + gsz, n)
+            fch = (self._slice_factor_chunk(factors, k0)
+                   if k1 - k0 == gsz else
+                   {p: {"down": f["down"][k0:k1], "up": f["up"][k0:k1]}
+                    for p, f in factors.items()})
+            g_fch, g = self._bwd_chunk_fn(hbs[k0:k1], fch, saved[k0:k1],
+                                          it, g)
+            # scalar fence (block_until_ready is a no-op on pending work
+            # in this relay): >10 queued 200-arg streamed dispatches
+            # degrade it (offload.py measurement)
+            float(g[(0,) * g.ndim])
+            chunks.append(g_fch)
+        chunks.reverse()
+        if len(chunks) == 1:
+            return chunks[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                            *chunks)
 
     @functools.partial(jax.jit, static_argnums=(0,),
                        donate_argnums=(1, 3))

@@ -24,8 +24,29 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent XLA compilation cache: test wall time is dominated by CPU
 # compiles of the tiny models, which are identical run-to-run. First run
 # populates the cache; repeat quick-tier runs finish in well under 3 min.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/more4d_jax_tests"))
+#
+# The dir is FINGERPRINTED by the host CPU's feature flags: XLA:CPU AOT
+# executables are machine-specific, and loading an entry produced on a
+# host with different features SIGSEGVs/SIGILLs the test process (observed
+# round 3: entries from a wider-featured machine crashed this one inside
+# compilation_cache.get_executable_and_time).
+def _cpu_fingerprint():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser(
+    f"~/.cache/more4d_jax_tests_{_cpu_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -48,3 +69,20 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.module.__name__ in _SLOW_MODULES:
             item.add_marker(pytest.mark.slow)
+
+
+# ---- compiler-state hygiene ------------------------------------------------
+# The XLA:CPU compiler segfaults deterministically after ~160 compiles in one
+# process (observed round 3: full-suite run crashed inside
+# backend_compile_and_load on test_wan_dit's grad-through-remat-scan test;
+# every test passes in isolation or in smaller batches).  Clearing JAX's
+# executable caches between modules bounds the accumulated compiler state;
+# cross-module tests never share compiled fns, so only wall time is affected
+# (and the persistent on-disk cache absorbs most of that).
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compiler_state():
+    yield
+    jax.clear_caches()

@@ -62,7 +62,10 @@ def test_streamed_lora_step_matches_resident():
     """Two steps of the streamed trainer == two steps of the resident
     LoRA trainer: same loss, same updated factors."""
     model, params, batch = _setup()
-    tx = optax.adamw(1e-3)
+    # SGD keeps the comparison linear in the gradients — adamw divides by
+    # sqrt(v)+eps, which amplifies O(1e-7) fp-association noise on
+    # near-zero gradient elements into O(lr)-scale factor differences
+    tx = optax.sgd(1e-2)
     rng = jax.random.PRNGKey(42)
 
     # resident reference: make_vism_train_step on the scanned model
@@ -92,9 +95,12 @@ def test_streamed_lora_step_matches_resident():
         losses_s.append(float(m["loss"]))
 
     np.testing.assert_allclose(losses_s, losses_r, rtol=1e-5)
+    # the streamed path applies LoRA as a side-path (x@W + s(x@d)@u) while
+    # the resident path merges (x@(W+sD)) — identical math, different fp32
+    # summation order, so updated factors agree to ~1e-5 abs not bit-exact
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a, np.float32), np.asarray(b, np.float32),
-        rtol=2e-4, atol=2e-6),
+        rtol=2e-4, atol=1e-5),
         lora_s["factors"], lora_r["factors"])
 
 
@@ -117,6 +123,25 @@ def test_streamed_lora_motion_variant():
                                   - b).max()) > 0,
         lora["factors"], before)
     assert any(v["up"] for v in moved.values()), "no up factor moved"
+
+
+def test_acts_on_host_matches_device_resident():
+    """Parking saved activations in pinned host memory between the walks
+    (the 14B HBM-relief mode) must not change the math."""
+    model, params, batch = _setup()
+    tx = optax.sgd(1e-2)
+    rng = jax.random.PRNGKey(5)
+    outs = []
+    for host in (False, True):
+        trainer, lora, opt = make_streamed_lora_trainer(
+            model, params, tx, jax.random.PRNGKey(7), quantize="none",
+            acts_on_host=host)
+        lora, opt, m = trainer.train_step(lora, opt, batch, rng)
+        outs.append((float(m["loss"]), lora["factors"]))
+    assert outs[0][0] == outs[1][0]
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8),
+        outs[0][1], outs[1][1])
 
 
 def test_fp8_streamed_lora_runs():
