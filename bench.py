@@ -530,9 +530,12 @@ def bench_train_14b_lora():
     lora = create_lora(shapes, jax.random.PRNGKey(7))
     tx = optax.adamw(1e-4)
     opt_state = tx.init(lora["factors"])
+    # acts stay in HBM: with side-path LoRA the forward's live set is small
+    # enough, and per-step pinned-host alloc/free churn (acts_on_host=True)
+    # crashed the TPU worker process after a few steps on this runtime
     trainer = StreamedLoRATrainer(
         model, rest, host, tx, rel2full=lora_block_paths(lora["factors"]),
-        acts_on_host=True,
+        acts_on_host=False,
         bwd_chunk=int(os.environ.get("MORE4D_LORA_BWD_CHUNK", "2")))
 
     batch = {
@@ -594,6 +597,8 @@ def bench_two_stage_14b():
     vp = jax.jit(vae.init)(rng, jnp.zeros((1, 5, 64, 64, 3), jnp.bfloat16))
     fence = lambda a: float(jnp.sum(jnp.abs(a).astype(jnp.float32)))  # noqa
 
+    from more4d_tpu.utils.flops import detect_tpu_peak, dit_forward_flops
+
     def stage(tag, motion, in_dim):
         cfg = dit_14b(motion_guidance=motion, in_dim=in_dim,
                       model_type="i2v", dtype=jnp.bfloat16,
@@ -620,6 +625,11 @@ def bench_two_stage_14b():
         step_s = float(np.median(steps[2:])) if len(steps) > 3 \
             else float(np.median(steps))
         out[f"{tag}_step_s"] = round(step_s, 2)
+        ntok = lt * (lh // 2) * (lw // 2)
+        flops = dit_forward_flops(cfg, ntok, batch=2)
+        out[f"{tag}_steps_per_sec"] = round(1.0 / step_s, 4)
+        out[f"{tag}_tflops_per_s"] = round(flops / step_s / 1e12, 1)
+        out[f"{tag}_mfu"] = round(flops / step_s / detect_tpu_peak(), 4)
 
         t0 = time.perf_counter()
         dec = vae.apply(vp, lat.astype(jnp.bfloat16),
@@ -756,19 +766,25 @@ _LEGS = {
 # never started-and-killed — a killed leg wastes its whole slice.
 _DEFAULT_RUN = [
     ("denoise", "MORE4D_BENCH_DENOISE", 150),
-    ("14b_measured", "MORE4D_BENCH_14B", 150),
-    ("train_1.3b", "MORE4D_BENCH_TRAIN", 120),
-    ("train_14b_lora", "MORE4D_BENCH_14B_LORA", 200),
-    ("two_stage_1.3b", "MORE4D_BENCH_E2E", 280),
+    # two_stage_14b's stage-1 measures the EXACT config of the old
+    # standalone 14b leg (motion-guided 64ch Control, CFG-doubled,
+    # streamed fp8), so one leg yields both the 14b_measured block and
+    # the flagship-config e2e per-stage record — see the 14b_measured
+    # synthesis in main()
     ("two_stage_14b", "MORE4D_BENCH_14B_E2E", 250),
+    ("train_1.3b", "MORE4D_BENCH_TRAIN", 120),
+    ("train_14b_lora", "MORE4D_BENCH_14B_LORA", 250),
+    ("two_stage_1.3b", "MORE4D_BENCH_E2E", 280),
+    ("14b_measured", "MORE4D_BENCH_14B", 150),
     ("teacache_compare", "MORE4D_BENCH_TEACACHE", 120),
 ]
 _KEY_TO_MODE = {"14b_measured": "14b", "train_1.3b": "train",
                 "two_stage_1.3b": "two_stage",
                 "teacache_compare": "teacache"}
-# teacache duplicates information already in two_stage (accelerated vs
-# plain) — off by default; everything else runs when budget allows
-_DEFAULT_OFF = {"teacache_compare"}
+# teacache duplicates two_stage information (accelerated vs plain) and
+# 14b_measured duplicates two_stage_14b's stage-1 — off by default;
+# everything else runs when budget allows
+_DEFAULT_OFF = {"teacache_compare", "14b_measured"}
 
 
 def main():
@@ -849,6 +865,20 @@ def main():
                          else {"denoise": leg_extra})
         else:
             extra[key] = res.get("extra", res)
+        if key == "two_stage_14b" and "14b_measured" not in extra:
+            ts14 = extra[key]
+            if isinstance(ts14, dict) and \
+                    ts14.get("stage1_control_steps_per_sec"):
+                extra["14b_measured"] = {
+                    "steps_per_sec": ts14["stage1_control_steps_per_sec"],
+                    "step_ms": round(
+                        1e3 * ts14["stage1_control_step_s"], 1),
+                    "tflops_per_s": ts14["stage1_control_tflops_per_s"],
+                    "mfu": ts14["stage1_control_mfu"],
+                    "method": "MEASURED: true 40-block fp8 streamed "
+                              "CFG-doubled denoise (= two_stage_14b "
+                              "stage 1; parallel/offload.py)",
+                }
         emit()
 
 

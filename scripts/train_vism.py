@@ -112,7 +112,7 @@ def run_training(dit, base_params, vae, vae_params, encode_text,
             rank=args.lora_rank, alpha=args.lora_alpha, quantize="fp8",
             max_grad_norm=tcfg.max_grad_norm,
             mse_threshold=tcfg.mse_threshold, shift=tcfg.shift,
-            acts_on_host=True)
+            acts_on_host=False)
         del base_params  # free host RAM: blocks now live in pinned memory
 
         def step_fn(lora, opt_state, _base, batch, rng):

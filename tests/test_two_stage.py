@@ -24,6 +24,24 @@ def _randomized(params, seed):
              for l in leaves])
 
 
+def test_batched_render_matches_serial():
+    """render_trajectories(batched=True) — the one-dispatch 11-sweep — must
+    produce exactly what the serial per-trajectory loop produces."""
+    from more4d_tpu.infer.two_stage import render_trajectories
+
+    rs = np.random.RandomState(3)
+    coords = (rs.rand(T, 96, 3).astype(np.float32) + [[0.0, 0.0, 2.0]])
+    colors = rs.rand(96, 3).astype(np.float32)
+    tt = [("static", {}), ("circle_rotating", {}),
+          ("forward_backward", {})]
+    batched = render_trajectories(coords, colors, H, W, tt, batched=True)
+    serial = render_trajectories(coords, colors, H, W, tt, batched=False)
+    assert [r["name"] for r in batched] == [r["name"] for r in serial]
+    for b, s in zip(batched, serial):
+        np.testing.assert_array_equal(b["frames"], s["frames"])
+        np.testing.assert_array_equal(b["mask"], s["mask"])
+
+
 def test_two_stage_end_to_end():
     vcfg = VAEConfig(dim=4, z_dim=4, dim_mult=(1, 1, 2, 2),
                      num_res_blocks=1,
