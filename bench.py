@@ -631,14 +631,21 @@ def bench_two_stage_14b():
         out[f"{tag}_tflops_per_s"] = round(flops / step_s / 1e12, 1)
         out[f"{tag}_mfu"] = round(flops / step_s / detect_tpu_peak(), 4)
 
+        # Free the DiT's HBM residents BEFORE decoding: the full-sequence
+        # decode at 49x368x512 plus the streamed DiT's non-block params
+        # OOMed the 16 GiB chip (round-3 rc on the first run of this leg).
+        # Streaming decode is also the production path (pipelines use it
+        # for long sequences) and is O(1)-memory in T.
+        del rest, sdit
+        gc.collect()
+        from more4d_tpu.models.vae_streaming import decode_streamed
         t0 = time.perf_counter()
-        dec = vae.apply(vp, lat.astype(jnp.bfloat16),
-                        method=WanVAE.decode)
+        dec = decode_streamed(vae, vp, lat.astype(jnp.bfloat16))
         fence(dec)
         out[f"{tag}_vae_decode_s"] = round(time.perf_counter() - t0, 1)
         out[f"{tag}_50step_extrap_s"] = round(
             50 * step_s + out[f"{tag}_vae_decode_s"], 1)
-        del rest, host, sdit
+        del host
         gc.collect()
 
     # stage 1: 14B 4D-STraG Control (motion guidance, 48ch conditioning)
