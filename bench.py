@@ -335,6 +335,8 @@ def bench_two_stage():
     # stage 2: 50-step inpaint — one trajectory, then the 11-sweep BATCHED
     video = frames.astype(jnp.float32) * 2 - 1
     mask = (alpha < 0.5).astype(jnp.float32)[..., None]
+    del frames, alpha  # ~150 MB of render buffers stay out of the sweep
+    gc.collect()
 
     def run_stage2(k, batched_encode=True):
         """ONE batch-k VAE encode + ONE batch-k denoise + chunked decode.
@@ -355,8 +357,12 @@ def bench_two_stage():
         lat = inp.denoise(p_inp, latents, pk, neg_embeds=pk, y=y,
                           clip_fea=mk(k, cfg_inp.clip_tokens,
                                       cfg_inp.clip_dim))
-        for i in range(0, k, 4):
-            fence(inp.decode_latents(vp, lat[i:i + 4]))
+        # decode ONE full-res video at a time: a batch-2 decode at
+        # 49x368x512 with the InP params resident OOMs the 16 GiB chip
+        # (this — not the denoise — is what killed every k>1 sweep probe
+        # in the first round-3 capture)
+        for i in range(k):
+            fence(inp.decode_latents(vp, lat[i:i + 1]))
         return time.perf_counter() - t0
 
     timings["stage2_compile_s"] = round(run_stage2(1), 2)
@@ -367,6 +373,7 @@ def bench_two_stage():
     # pipeline dtype; OOM falls back to per-traj encode, then halves k
     sweep_k = int(os.environ.get("MORE4D_BENCH_SWEEP_K", "4"))
     batched_encode = True
+    sweep_errors = []
     while sweep_k > 1:
         try:
             # one compile pass + ONE timed run (a second ~80 s k=4 run
@@ -379,8 +386,10 @@ def bench_two_stage():
             timings["stage2_sweep_batched_encode"] = batched_encode
             break
         except Exception as e:  # RESOURCE_EXHAUSTED -> degrade gracefully
-            timings["stage2_sweep_error"] = f"k={sweep_k} " \
-                f"benc={batched_encode}: {type(e).__name__}: {str(e)[:160]}"
+            sweep_errors.append(f"k={sweep_k} "
+                                f"benc={batched_encode}: "
+                                f"{type(e).__name__}: {str(e)[:120]}")
+            timings["stage2_sweep_errors"] = sweep_errors
             gc.collect()
             if batched_encode:
                 batched_encode = False
@@ -394,23 +403,25 @@ def bench_two_stage():
     # sweep that fit in round 2 OOM'd with these buffers resident)
     try:
         from more4d_tpu.geometry.cameras import TRAJECTORY_TYPES
+        from more4d_tpu.kernels.gs_splat import gs_render_sweep
         del run_stage2
         gc.collect()
+        # ONE [T,N,3] cloud; the sweep renderer indexes frame j % T —
+        # tiling it 11x (~1.2 GB of coordinates) OOM'd this leg
         cv = jnp.asarray(_np.repeat(coords[None], t_frames, 0), jnp.float32)
         exts11 = _np.concatenate([
             _np.asarray(generate_trajectory(name, coords.mean(0), t_frames,
                                             **kwt))
             for name, kwt in TRAJECTORY_TYPES], axis=0)
-        coords11 = jnp.tile(cv, (len(TRAJECTORY_TYPES), 1, 1))
         for warm in (True, False):
             t0 = time.perf_counter()
-            f11, _a11 = gs_render_tiled_video(
-                coords11, colors, jnp.asarray(exts11), intr, h, w)
+            f11, _a11 = gs_render_sweep(
+                cv, colors, jnp.asarray(exts11), intr, h, w)
             fence(f11)
             if not warm:
                 timings["render_11traj_batched_s"] = round(
                     time.perf_counter() - t0, 2)
-        del f11, _a11, coords11, cv
+        del f11, _a11, cv
         gc.collect()
     except Exception as e:
         timings["render_11traj_batched_error"] = \
@@ -567,6 +578,9 @@ def bench_train_14b_lora():
         # recompute adds another ~1x fwd of hardware work not counted here
         "tflops_per_s_useful_2x_fwd": round(2 * fwd / dt / 1e12, 1),
         "mfu_2x_fwd": round(2 * fwd / dt / peak, 4),
+        # hardware utilization: executed FLOPs = fwd + bwd-recompute +
+        # dgrad = 3x fwd (block-granularity gradient checkpointing)
+        "mfu_hw_3x_fwd": round(3 * fwd / dt / peak, 4),
         "method": "MEASURED: true 40-block fp8 base streamed from pinned "
                   "host fwd+bwd, LoRA rank-4 factors resident+trained",
     }

@@ -60,3 +60,22 @@ def zbuffer_render_video(points_video, colors, extrinsics, intrinsic,
         return zbuffer_render(pts, colors, ext, intrinsic, height, width)
 
     return jax.vmap(render_one)(points_video, extrinsics)
+
+
+def zbuffer_render_sweep(points_video, colors, extrinsics, intrinsic,
+                         height: int, width: int):
+    """Camera sweep over ONE per-frame cloud: points_video [T,N,3],
+    extrinsics [K*T,4,4]; output frame j renders points_video[j % T].
+    Sequential lax.map (not vmap) so only one frame's gathered cloud is
+    live at a time — tiling the cloud K x for the 11-trajectory sweep
+    (infer.py:906-924) costs ~1.2 GB of HBM at the operating point."""
+    t = points_video.shape[0]
+
+    def one(je):
+        j, ext = je
+        pts = jax.lax.dynamic_index_in_dim(points_video, j % t, 0,
+                                           keepdims=False)
+        return zbuffer_render(pts, colors, ext, intrinsic, height, width)
+
+    idx = jnp.arange(extrinsics.shape[0], dtype=jnp.int32)
+    return jax.lax.map(one, (idx, extrinsics))

@@ -33,8 +33,8 @@ import numpy as np
 from ..geometry import (back_project_coords, get_intrinsic_matrix,
                         inverse_flow_norm)
 from ..geometry.cameras import TRAJECTORY_TYPES, generate_trajectory
-from ..geometry.render import zbuffer_render_video
-from ..kernels.gs_splat import gs_render_tiled_video
+from ..geometry.render import zbuffer_render_sweep, zbuffer_render_video
+from ..kernels.gs_splat import gs_render_sweep, gs_render_tiled_video
 from ..models.adaptors import VAEDecoderAdaptor
 from ..pipelines import WanControlPipeline, WanInpaintPipeline
 
@@ -169,15 +169,15 @@ def render_trajectories(coords: np.ndarray, colors: np.ndarray,
             k = len(trajectory_types)
             exts_all = jnp.asarray(np.concatenate(
                 [np.asarray(e) for e in exts_list], axis=0))
-            coords_all = jnp.tile(jnp.asarray(coords), (k, 1, 1))
+            coords_j = jnp.asarray(coords)  # ONE copy; frame j uses j % T
             cj = jnp.asarray(colors)
             # mask ALWAYS from the z-buffer hole mask (infer.py:906-924)
-            zb_frames, hole = zbuffer_render_video(
-                coords_all, cj, exts_all, intr, height, width)
+            zb_frames, hole = zbuffer_render_sweep(
+                coords_j, cj, exts_all, intr, height, width)
             frames = zb_frames
             if use_gs:
-                frames, _alpha = gs_render_tiled_video(
-                    coords_all, cj, exts_all, intr, height, width)
+                frames, _alpha = gs_render_sweep(
+                    coords_j, cj, exts_all, intr, height, width)
             frames = np.asarray(frames).reshape(k, t, height, width, -1)
             hole = np.asarray(hole).reshape(k, t, height, width)
             return [{"name": n, "frames": frames[i], "mask": hole[i]}
@@ -218,7 +218,7 @@ def stage2_inpaint_batch(m: TwoStageModels,
                          renders: Sequence[Dict[str, np.ndarray]],
                          prompt: str, negative_prompt: str = "",
                          rng: Optional[jax.Array] = None,
-                         decode_chunk: int = 4) -> np.ndarray:
+                         decode_chunk: int = 1) -> np.ndarray:
     """Fill disocclusions of K rendered trajectories with ONE batched
     denoise loop.
 

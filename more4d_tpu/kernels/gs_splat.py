@@ -227,3 +227,27 @@ def gs_render_tiled_video(points_video, colors, extrinsics, intrinsic,
                                scale=scale, **kw)
 
     return jax.lax.map(one, (points_video, extrinsics))
+
+
+def gs_render_sweep(points_video, colors, extrinsics, intrinsic,
+                    height, width, scale: float = 1e-4, **kw):
+    """Camera sweep over ONE per-frame cloud: points_video [T,N,3],
+    extrinsics [K*T,4,4]; output frame j renders points_video[j % T].
+
+    The reference's sweep re-renders the same cloud under 11 camera
+    trajectories (infer.py:906-924).  Tiling the cloud K x (the obvious
+    ``gs_render_tiled_video(jnp.tile(coords, (K,1,1)), ...)``) puts
+    K*T*N*3 float32 of coordinates in HBM — ~1.2 GB at the operating
+    point — which OOMs alongside the stage-2 models; indexing inside the
+    sequential lax.map keeps exactly one frame's cloud live."""
+    t = points_video.shape[0]
+
+    def one(je):
+        j, ext = je
+        pts = jax.lax.dynamic_index_in_dim(points_video, j % t, 0,
+                                           keepdims=False)
+        return gs_render_tiled(pts, colors, ext, intrinsic, height, width,
+                               scale=scale, **kw)
+
+    idx = jnp.arange(extrinsics.shape[0], dtype=jnp.int32)
+    return jax.lax.map(one, (idx, extrinsics))

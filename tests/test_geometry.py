@@ -132,6 +132,32 @@ def test_zbuffer_ignores_behind_camera_and_oob():
     assert np.asarray(hole).all()
 
 
+def test_zbuffer_sweep_matches_video():
+    """zbuffer_render_sweep([T,N,3], exts [K*T]) == _video on the K x
+    tiled cloud (the sweep form keeps one frame's cloud live)."""
+    from more4d_tpu.geometry.cameras import generate_trajectory
+    from more4d_tpu.geometry.render import (zbuffer_render_sweep,
+                                            zbuffer_render_video)
+
+    rs = np.random.RandomState(2)
+    t, k, n, h, w = 2, 3, 500, 16, 24
+    pv = jnp.asarray(np.stack([
+        np.stack([rs.uniform(-0.5, 0.5, n), rs.uniform(-0.35, 0.35, n),
+                  rs.uniform(1.0, 3.0, n)], -1) for _ in range(t)]),
+        jnp.float32)
+    cols = jnp.asarray(rs.rand(n, 3), jnp.float32)
+    intr = jnp.asarray(get_intrinsic_matrix(h, w), jnp.float32)
+    center = np.asarray(pv).reshape(-1, 3).mean(0)
+    exts = jnp.concatenate([
+        jnp.asarray(generate_trajectory(name, center, t), jnp.float32)
+        for name in ("static", "circle_rotating", "surrounding")], axis=0)
+    f_s, h_s = zbuffer_render_sweep(pv, cols, exts, intr, h, w)
+    f_v, h_v = zbuffer_render_video(jnp.tile(pv, (k, 1, 1)), cols, exts,
+                                    intr, h, w)
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_v), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(h_s), np.asarray(h_v))
+
+
 def test_trajectories_shapes_and_validity():
     center = np.array([0.1, 0.2, 2.0])
     for name, kw in TRAJECTORY_TYPES:

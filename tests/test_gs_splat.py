@@ -106,6 +106,29 @@ def test_tiled_video_matches_per_frame():
                                atol=1e-5)
 
 
+def test_sweep_matches_tiled_video():
+    """gs_render_sweep([T,N,3], exts [K*T]) == tiled_video on the K x
+    tiled cloud — the sweep form avoids materializing the tile."""
+    from more4d_tpu.kernels.gs_splat import gs_render_sweep
+
+    pts, cols, _ext, intr = _scene(600, seed=3)
+    t, k = 2, 3
+    rs = np.random.RandomState(5)
+    pv = jnp.asarray(rs.uniform(-0.5, 0.5, (t,) + pts.shape)
+                     + np.asarray(pts), jnp.float32)
+    center = np.asarray(pts).mean(0)
+    exts = jnp.concatenate([
+        jnp.asarray(generate_trajectory(name, center, t), jnp.float32)
+        for name in ("static", "circle_rotating", "surrounding")], axis=0)
+    f_sweep, a_sweep = gs_render_sweep(pv, cols, exts, intr, H, W)
+    f_tile, a_tile = gs_render_tiled_video(
+        jnp.tile(pv, (k, 1, 1)), cols, exts, intr, H, W)
+    np.testing.assert_allclose(np.asarray(f_sweep), np.asarray(f_tile),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_sweep), np.asarray(a_tile),
+                               atol=1e-5)
+
+
 def test_tile_records_no_int32_overflow_at_720p():
     """Regression: at 720x1280 (3600 tiles) the packed (tile, depth) sort
     key used to overflow int32 via the tid=num_tiles sentinel, corrupting
