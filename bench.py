@@ -501,7 +501,14 @@ def bench_train():
     return {"steps_per_sec": round(1.0 / dt, 4),
             "step_ms": round(dt * 1e3, 1),
             "tflops_per_s": round(flops / dt / 1e12, 1),
-            "mfu_3x_fwd": round(flops / dt / peak, 4)}
+            "mfu_3x_fwd": round(flops / dt / peak, 4),
+            # hardware utilization: remat='nothing' at bs=1 (memory-
+            # required; 'dots' fails server compile) executes a full
+            # extra forward in the backward walk = 4x fwd FLOPs.
+            # Measured decomposition (round 3): fwd-only 0.432 s,
+            # value_and_grad 1.692 s ~= exactly 4x fwd (backward at
+            # forward efficiency), optimizer tail ~0.16 s.
+            "mfu_hw_4x_fwd": round(4 * flops / 3 / dt / peak, 4)}
 
 
 def bench_train_14b_lora():
@@ -652,13 +659,23 @@ def bench_two_stage_14b():
         # for long sequences) and is O(1)-memory in T.
         del rest, sdit
         gc.collect()
-        from more4d_tpu.models.vae_streaming import decode_streamed
-        t0 = time.perf_counter()
-        dec = decode_streamed(vae, vp, lat.astype(jnp.bfloat16))
-        fence(dec)
-        out[f"{tag}_vae_decode_s"] = round(time.perf_counter() - t0, 1)
-        out[f"{tag}_50step_extrap_s"] = round(
-            50 * step_s + out[f"{tag}_vae_decode_s"], 1)
+        # Cold-relay degradation: both stages decode the IDENTICAL
+        # [1,13,46,64,16] graph, and on a cold relay its first execution
+        # costs 70-145 s of server-side warmup (vs ~7 s warm).  When the
+        # denoise wall shows the relay is cold, measure the decode once —
+        # at stage 2 — so the leg can't starve the later budget legs.
+        slow_relay = out[f"{tag}_denoise_wall_s"] > 60 + 8 * n_steps
+        if tag.startswith("stage1") and slow_relay:
+            out[f"{tag}_vae_decode_s"] = None  # = stage2's, same graph
+            out[f"{tag}_decode_note"] = ("skipped on slow relay; the "
+                                         "stage2_inp decode measures the "
+                                         "identical graph")
+        else:
+            from more4d_tpu.models.vae_streaming import decode_streamed
+            t0 = time.perf_counter()
+            dec = decode_streamed(vae, vp, lat.astype(jnp.bfloat16))
+            fence(dec)
+            out[f"{tag}_vae_decode_s"] = round(time.perf_counter() - t0, 1)
         del host
         gc.collect()
 
@@ -666,6 +683,13 @@ def bench_two_stage_14b():
     stage("stage1_control", True, 64)
     # stage 2: 14B ViSM InP (20ch inpaint conditioning)
     stage("stage2_inp", False, 36)
+    for tag in ("stage1_control", "stage2_inp"):
+        dec = out[f"{tag}_vae_decode_s"]
+        if dec is None:  # slow-relay skip: same graph as stage2's decode
+            dec = out["stage2_inp_vae_decode_s"]
+            out[f"{tag}_vae_decode_s"] = dec
+        out[f"{tag}_50step_extrap_s"] = round(
+            50 * out[f"{tag}_step_s"] + dec, 1)
     out["total_1traj_50step_extrap_s"] = round(
         out["stage1_control_50step_extrap_s"]
         + out["stage2_inp_50step_extrap_s"], 1)
@@ -793,9 +817,16 @@ _DEFAULT_RUN = [
     # the flagship-config e2e per-stage record — see the 14b_measured
     # synthesis in main()
     ("two_stage_14b", "MORE4D_BENCH_14B_E2E", 250),
-    ("train_1.3b", "MORE4D_BENCH_TRAIN", 120),
-    ("train_14b_lora", "MORE4D_BENCH_14B_LORA", 250),
-    ("two_stage_1.3b", "MORE4D_BENCH_E2E", 280),
+    ("train_1.3b", "MORE4D_BENCH_TRAIN", 110),
+    # 1.3B e2e before the 14B LoRA leg: with everything warm all five fit
+    # ~900 s, but if the budget runs short the leg dropped should be the
+    # one whose number also appears in COVERAGE.md, and the e2e leg
+    # resolves the round-2 reproducibility dispute.  The driver-default
+    # e2e leg skips the batched-sweep k-probe (MORE4D_BENCH_SWEEP_K=0
+    # below): the probe costs ~180 s and its conclusion — serial beats
+    # batched on one chip now that per-traj stage-2 is 9.2 s — is stable.
+    ("two_stage_1.3b", "MORE4D_BENCH_E2E", 200),
+    ("train_14b_lora", "MORE4D_BENCH_14B_LORA", 180),
     ("14b_measured", "MORE4D_BENCH_14B", 150),
     ("teacache_compare", "MORE4D_BENCH_TEACACHE", 120),
 ]
@@ -878,6 +909,10 @@ def main():
                                        f"{floor_s}s floor"})
             continue
         leg_mode = _KEY_TO_MODE.get(key, key)
+        if key == "two_stage_1.3b":
+            # skip the exploratory batched-sweep probe under the driver
+            # budget (see _DEFAULT_RUN comment); manual runs keep it
+            os.environ.setdefault("MORE4D_BENCH_SWEEP_K", "0")
         res = _run_leg_subprocess(leg_mode, timeout=int(remaining))
         if key == "denoise":
             steps_per_sec = res.get("value") or 0.0
