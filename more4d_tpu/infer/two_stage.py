@@ -218,17 +218,21 @@ def stage2_inpaint_batch(m: TwoStageModels,
                          renders: Sequence[Dict[str, np.ndarray]],
                          prompt: str, negative_prompt: str = "",
                          rng: Optional[jax.Array] = None,
-                         decode_chunk: int = 1) -> np.ndarray:
-    """Fill disocclusions of K rendered trajectories with ONE batched
-    denoise loop.
+                         decode_chunk: int = 1,
+                         denoise_group: Optional[int] = None) -> np.ndarray:
+    """Fill disocclusions of K rendered trajectories with a batched
+    encode + grouped denoise.
 
     The reference runs the 11-trajectory sweep serially
-    (infer.py:961-989); here the 50-step denoise — the dominant cost —
-    runs batch-K, and the VAE *encode* of the K masked videos runs as ONE
-    batched call too (a [K,T,H,W,3] video stack is only ~K x 110 MB; the
-    encode activations dominate and the fallback drops to per-trajectory
-    encodes if the stacked graph exhausts HBM).  The final *decode* runs
-    in ``decode_chunk`` groups. Returns [K,T,H,W,3] in [0, 1]."""
+    (infer.py:961-989); here the VAE *encode* of the K masked videos runs
+    as ONE batched call (a [K,T,H,W,3] video stack is only ~K x 110 MB;
+    the encode activations dominate and the fallback drops to
+    per-trajectory encodes if the stacked graph exhausts HBM), the 50-step
+    denoise runs in groups of ``denoise_group`` trajectories (None = all K
+    in one loop; measured on the 16 GiB v5e, small groups beat one big
+    batch — the batch-8-CFG loop's working set thrashes HBM), and the
+    final *decode* runs in ``decode_chunk`` groups.
+    Returns [K,T,H,W,3] in [0, 1]."""
     rng = rng if rng is not None else jax.random.PRNGKey(1)
     pipe = m.inpaint_pipeline
     k = len(renders)
@@ -261,8 +265,15 @@ def stage2_inpaint_batch(m: TwoStageModels,
     prompt_embeds = jnp.tile(m.encode_text([prompt]), (k, 1, 1))
     neg_embeds = jnp.tile(m.encode_text([negative_prompt]), (k, 1, 1))
 
-    latents = pipe.denoise(m.dit_inp_params, latents, prompt_embeds,
-                           neg_embeds, y=y, clip_fea=clip_fea)
+    g = k if denoise_group is None else max(int(denoise_group), 1)
+    lat_groups = []
+    for i in range(0, k, g):
+        lat_groups.append(pipe.denoise(
+            m.dit_inp_params, latents[i:i + g], prompt_embeds[i:i + g],
+            neg_embeds[i:i + g], y=y[i:i + g],
+            clip_fea=None if clip_fea is None else clip_fea[i:i + g]))
+    latents = jnp.concatenate(lat_groups, axis=0) if len(lat_groups) > 1 \
+        else lat_groups[0]
     dc = max(decode_chunk, 1)
     outs = [np.asarray(pipe.decode_latents(m.vae_params,
                                            latents[i:i + dc]))
@@ -275,14 +286,19 @@ def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
                   depth: Optional[np.ndarray] = None,
                   trajectory_types=None, use_gs: bool = True,
                   rng: Optional[jax.Array] = None,
-                  stage2_batch: int = 1):
+                  stage2_batch: int = 1,
+                  stage2_denoise_group: Optional[int] = None):
     """Single image -> list of inpainted novel-view videos (one per camera
     trajectory), plus the stage-1 point clouds.
 
     ``stage2_batch``: how many trajectories to inpaint per batched
-    pipeline call. 1 (the default) reproduces the reference's serial
-    sweep, which also measures fastest on a 16 GiB v5e at 1.3B; k>=6
-    exhausts HBM there. Larger chips can raise it."""
+    pipeline call (the VAE encode batches across the whole group).
+    1 (the default) reproduces the reference's serial sweep, which also
+    measures fastest on a 16 GiB v5e at 1.3B; k>=6 exhausts HBM there.
+    ``stage2_denoise_group``: denoise-loop batch within a stage2_batch
+    group (None = whole group) — lets the encode batch wide while the
+    denoise stays narrow on memory-tight chips. Larger chips can raise
+    both."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     r1, r2 = jax.random.split(rng)
     coords, colors = stage1_generate(m, image01, prompt, negative_prompt,
@@ -295,7 +311,8 @@ def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
     for c0 in range(0, len(renders), max(stage2_batch, 1)):
         chunk = renders[c0:c0 + max(stage2_batch, 1)]
         outs = stage2_inpaint_batch(m, chunk, prompt, negative_prompt,
-                                    rng=jax.random.fold_in(r2, c0))
+                                    rng=jax.random.fold_in(r2, c0),
+                                    denoise_group=stage2_denoise_group)
         for render, out in zip(chunk, outs):
             videos.append({"name": render["name"], "video": out})
     return {"coords": coords, "colors": colors, "renders": renders,

@@ -75,10 +75,15 @@ def build_parser():
                         "sequential cpu-offload, infer.py:685-707). Implies "
                         "fp8 block storage.")
     p.add_argument("--stage2_batch", type=int, default=1,
-                   help="trajectories per batched stage-2 denoise. 1 (the "
-                        "reference's serial sweep) measures fastest on a "
-                        "16 GiB v5e at 1.3B; k=2 fits but does not pay; "
-                        "larger chips may benefit from bigger batches")
+                   help="trajectories per batched stage-2 pipeline call "
+                        "(the VAE encode batches across the group). 1 = "
+                        "the reference's serial sweep, fastest on a "
+                        "16 GiB v5e at 1.3B; larger chips can raise it")
+    p.add_argument("--stage2_denoise_group", type=int, default=None,
+                   help="denoise-loop batch within a --stage2_batch group "
+                        "(default: the whole group); lets the encode "
+                        "batch wide while the denoise stays narrow on "
+                        "memory-tight chips")
     # default: the native JAX UniDepth port (no torch in the live path);
     # "unidepth" selects the torch wrapper when that package is installed
     p.add_argument("--depth_provider", default="unidepth_jax",
@@ -255,7 +260,8 @@ def main():
     out = run_two_stage(models, image, args.prompt, args.negative_prompt,
                         use_gs=args.use_gs,
                         rng=jax.random.PRNGKey(args.seed),
-                        stage2_batch=args.stage2_batch)
+                        stage2_batch=args.stage2_batch,
+                        stage2_denoise_group=args.stage2_denoise_group)
 
     from more4d_tpu.utils import save_pointcloud_txt, save_videos_grid
 

@@ -80,6 +80,30 @@ def test_control_pipeline_end_to_end(scheduler):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_prepare_conditions_batched_encode_matches_serial():
+    """The batch-2 stacked control+depth encode must be bit-identical to
+    two serial encode_video calls (per-sample convs + GroupNorm)."""
+    vae, vae_params = _vae()
+    dit, dcfg = _dit(in_dim=16, motion=False)
+    pipe = WanControlPipeline(
+        dit, vae, PipelineConfig(num_inference_steps=2, num_frames=T,
+                                 height=H, width=W))
+    rng = np.random.RandomState(3)
+    control = jnp.asarray(rng.rand(1, T, H, W, 3) * 2 - 1, jnp.float32)
+    depth = jnp.asarray(rng.rand(1, 1, H, W, 3) * 2 - 1, jnp.float32)
+    lat_shape = (1, (T - 1) // 4 + 1, H // 8, W // 8, 4)
+
+    y = pipe.prepare_conditions(vae_params, lat_shape, control,
+                                depth_image=depth)
+    ctrl_lat = pipe.encode_video(vae_params, control, static_hint=True)
+    depth_video = jnp.broadcast_to(depth, (1, T) + depth.shape[2:])
+    depth_lat = pipe.encode_video(vae_params, depth_video, static_hint=True)
+    np.testing.assert_array_equal(np.asarray(y[..., :4]),
+                                  np.asarray(ctrl_lat))
+    np.testing.assert_array_equal(np.asarray(y[..., 8:]),
+                                  np.asarray(depth_lat))
+
+
 def test_teacache_threshold_zero_is_exact():
     """rel_l1_thresh=0 -> accumulated distance always >= thresh -> every step
     computes the blocks; result must equal the no-teacache pipeline."""

@@ -110,3 +110,19 @@ def test_two_stage_end_to_end():
     # static trajectory from the identity camera must cover most pixels
     static_mask = out["renders"][0]["mask"]
     assert static_mask[0].mean() < 0.5
+
+    # grouped denoise (batched encode + narrow denoise loops) must match
+    # the one-batch loop: the DiT is per-sample and the TeaCache decision
+    # statistic depends only on t
+    import dataclasses as _dc
+
+    from more4d_tpu.infer.two_stage import stage2_inpaint_batch
+    det = _dc.replace(models, encode_text=lambda prompts: jnp.full(
+        (len(prompts), 8, text_dim), 0.1, jnp.float32))
+    whole = stage2_inpaint_batch(det, out["renders"], "a cat",
+                                 rng=jax.random.PRNGKey(9))
+    grouped = stage2_inpaint_batch(det, out["renders"], "a cat",
+                                   rng=jax.random.PRNGKey(9),
+                                   denoise_group=1)
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(grouped),
+                               atol=2e-5)
