@@ -590,7 +590,9 @@ def bench_train_14b_lora():
     trainer = StreamedLoRATrainer(
         model, rest, host, tx, rel2full=lora_block_paths(lora["factors"]),
         acts_on_host=False,
-        bwd_chunk=int(os.environ.get("MORE4D_LORA_BWD_CHUNK", "2")))
+        # chunk 4 measured 0.1017 steps/s vs 0.0987 at chunk 2 (10 fenced
+        # bwd dispatches instead of 20 — less exposure to relay latency)
+        bwd_chunk=int(os.environ.get("MORE4D_LORA_BWD_CHUNK", "4")))
 
     batch = {
         "latents": jax.random.normal(jax.random.PRNGKey(1),

@@ -165,6 +165,7 @@ def render_trajectories(coords: np.ndarray, colors: np.ndarray,
                  for name, kw in trajectory_types]
 
     if batched and len(trajectory_types) > 1:
+        zb_frames = hole = frames = _alpha = None
         try:
             k = len(trajectory_types)
             exts_all = jnp.asarray(np.concatenate(
@@ -178,12 +179,18 @@ def render_trajectories(coords: np.ndarray, colors: np.ndarray,
             if use_gs:
                 frames, _alpha = gs_render_sweep(
                     coords_j, cj, exts_all, intr, height, width)
+            # np.asarray forces the async dispatch inside the try
             frames = np.asarray(frames).reshape(k, t, height, width, -1)
             hole = np.asarray(hole).reshape(k, t, height, width)
             return [{"name": n, "frames": frames[i], "mask": hole[i]}
                     for i, n in enumerate(names)]
-        except Exception:
-            pass  # e.g. RESOURCE_EXHAUSTED on huge clouds -> serial
+        except Exception as e:
+            # ONLY memory pressure falls back to the serial loop — any
+            # other failure of the sweep renderers is a real bug and must
+            # surface, not be silently papered over
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            del zb_frames, hole, frames, _alpha  # free before re-render
 
     out = []
     for name_i, exts in zip(names, exts_list):
@@ -240,6 +247,7 @@ def stage2_inpaint_batch(m: TwoStageModels,
 
     y, clips = None, []
     if k > 1:
+        video_k = mask_k = None
         try:
             video_k = jnp.asarray(
                 np.stack([r["frames"] for r in renders]),
@@ -248,8 +256,17 @@ def stage2_inpaint_batch(m: TwoStageModels,
                                  jnp.float32)[..., None]
             y = pipe.prepare_conditions(m.vae_params, latents.shape,
                                         video_k, mask_k)
-        except Exception:
-            y = None  # RESOURCE_EXHAUSTED -> per-trajectory encodes
+            # force the dispatch INSIDE the try: execution is async (and
+            # block_until_ready is a no-op on the relay backend), so
+            # without a readback a RESOURCE_EXHAUSTED would surface later
+            # inside denoise, past this fallback
+            float(jnp.sum(jnp.abs(y[..., :1]).astype(jnp.float32)))
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            y = None  # -> per-trajectory encodes
+        finally:
+            del video_k, mask_k  # k x ~150 MB must not outlive the try
     if y is None:
         ys = []
         for r in renders:

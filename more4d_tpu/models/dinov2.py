@@ -144,11 +144,15 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
-def convert_dinov2_state_dict(sd, depth: int = 24):
+def convert_dinov2_state_dict(sd, depth: int = 24, consumed=None):
     """Torch -> flax params. Accepts both naming schemes:
     - official dinov2 (blocks.N.attn.qkv, ls1.gamma, patch_embed.proj, ...)
     - transformers Dinov2Model (encoder.layer.N.attention..., layer_scale1
       .lambda1, embeddings.patch_embeddings.projection, ...).
+
+    ``consumed``: optional set — every checkpoint key the mapping reads is
+    added, so a strict caller can report the exact unconsumed leftovers
+    (load_unidepth_strict's backbone pre-check).
     """
     sd = {k: (v.detach().cpu().float().numpy() if hasattr(v, "detach")
               else np.asarray(v)) for k, v in sd.items()}
@@ -156,6 +160,8 @@ def convert_dinov2_state_dict(sd, depth: int = 24):
     def get(*names):
         for n in names:
             if n in sd:
+                if consumed is not None:
+                    consumed.add(n)
                 return sd[n]
         raise KeyError(names[0])
 

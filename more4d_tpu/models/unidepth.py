@@ -452,9 +452,40 @@ def load_unidepth_strict(sd, model: "UniDepthV2" = None,
     if unmapped:
         errors.append(f"checkpoint has {len(unmapped)} keys the converter "
                       f"does NOT consume:\n  " + "\n  ".join(unmapped))
-    if missing:
-        # conversion would KeyError on the first absent key — report the
-        # complete structured diff instead
+
+    # backbone (pixel_encoder.*) gets the same structured pre-check: a
+    # dry conversion with key tracking, so a renamed DINOv2 key reports as
+    # a readable diff instead of a raw deep KeyError (review finding r3)
+    from .dinov2 import convert_dinov2_state_dict as _conv_dino
+
+    enc = {k[len("pixel_encoder."):]: v for k, v in norm_sd.items()
+           if k.startswith("pixel_encoder.")}
+    if enc:
+        used = set()
+        try:
+            _conv_dino(enc, depth=model.backbone_depth, consumed=used)
+        except KeyError as e:
+            leftover = sorted(set(enc) - used)
+            errors.append(
+                f"backbone conversion failed at expected key "
+                f"{e.args[0]!r}; {len(leftover)} pixel_encoder keys were "
+                f"never consumed:\n  " + "\n  ".join(leftover))
+        else:
+            # mask_token exists in released DINOv2 checkpoints but is
+            # inference-dead (only the masked-image-modeling pretrain
+            # objective reads it) — not a mapping gap
+            ignorable = {"mask_token", "embeddings.mask_token"}
+            leftover = sorted(set(enc) - used - ignorable)
+            if leftover:
+                errors.append(
+                    f"backbone checkpoint has {len(leftover)} "
+                    f"pixel_encoder keys the converter does NOT "
+                    f"consume:\n  " + "\n  ".join(leftover))
+
+    if missing or any(e.startswith("backbone conversion failed")
+                      for e in errors):
+        # full conversion would KeyError on the first absent key — report
+        # the complete structured diff instead
         raise ValueError(
             "UniDepth strict load failed "
             f"({len(errors)} problem group(s)):\n\n" + "\n\n".join(errors))
@@ -480,11 +511,23 @@ def load_unidepth_strict(sd, model: "UniDepthV2" = None,
                           f"{tuple(exp.shape)}")
 
     walk(converted["params"], expect["params"])
-    missing_model = [k for k in expect["params"]
-                     if k not in converted["params"]]
-    if missing_model:
-        errors.append("model subtrees not covered by the checkpoint: "
-                      + ", ".join(sorted(missing_model)))
+
+    def walk_missing(exp, conv, prefix=""):
+        """Expected leaves the conversion did not produce, at ANY depth —
+        without this, a nested absent leaf keeps its random init silently
+        (review finding r3)."""
+        if isinstance(exp, dict):
+            for k, v in exp.items():
+                if prefix == "" and k == "pixel_encoder" and not enc:
+                    continue  # decoder-only checkpoint: backbone loads
+                    # separately (convert_dinov2_state_dict)
+                if not isinstance(conv, dict) or k not in conv:
+                    errors.append(f"model expects {prefix}/{k} but the "
+                                  f"conversion did not produce it")
+                else:
+                    walk_missing(v, conv[k], f"{prefix}/{k}")
+
+    walk_missing(expect["params"], converted["params"])
     if errors:
         raise ValueError(
             "UniDepth strict load failed "

@@ -89,9 +89,18 @@ def prepare_vism_batch(sample, vae, vae_params, encode_text, encode_clip,
 
 def run_training(dit, base_params, vae, vae_params, encode_text,
                  sample_iter, args, encode_clip=None):
-    """Core loop, callable from tests with tiny models."""
+    """Core loop, callable from tests with tiny models.
+
+    ``base_params`` may be passed as a single-element list ("box"): the
+    tree is popped out so the caller's frame holds no reference and the
+    ``del`` in the --offload_blocks branch actually frees the host-RAM
+    copy (a bare positional tree stays alive in the caller for the whole
+    run — 2x the 14B checkpoint size of resident RAM)."""
     import jax
     import optax
+
+    if isinstance(base_params, list):
+        base_params = base_params.pop()
 
     from more4d_tpu.train.checkpoint import CheckpointManager
     from more4d_tpu.train.lora import create_lora
@@ -225,8 +234,12 @@ def main():
 
     from more4d_tpu.data.prefetch import prefetch
 
-    # overlap pkl IO + native z-buffer projection with the TPU step
-    run_training(dit, base_params, vae, vae_params, encoders.encode_text,
+    # overlap pkl IO + native z-buffer projection with the TPU step;
+    # base_params moves in boxed so this frame drops its reference and
+    # the streamed path can free the host-RAM tree (see run_training)
+    box = [base_params]
+    del base_params
+    run_training(dit, box, vae, vae_params, encoders.encode_text,
                  prefetch(samples(), depth=4, num_workers=2), args,
                  encode_clip=encoders.encode_clip)
 

@@ -58,9 +58,16 @@ def _setup(motion=False, dtype=jnp.float32):
     return model, params, batch
 
 
-def test_streamed_lora_step_matches_resident():
+@pytest.mark.parametrize("bwd_chunk", [4, 1])
+def test_streamed_lora_step_matches_resident(bwd_chunk):
     """Two steps of the streamed trainer == two steps of the resident
-    LoRA trainer: same loss, same updated factors."""
+    LoRA trainer: same loss, same updated factors.
+
+    bwd_chunk=4 on the 2-layer model takes the single-partial-chunk
+    Python-slice path; bwd_chunk=1 forces TWO full chunks through
+    _slice_factor_chunk's lax.dynamic_slice, the reverse cotangent
+    chaining, and the chunks.reverse()+concatenate reassembly — the
+    code path the real 40-layer 14B job runs (review finding r3)."""
     model, params, batch = _setup()
     # SGD keeps the comparison linear in the gradients — adamw divides by
     # sqrt(v)+eps, which amplifies O(1e-7) fp-association noise on
@@ -83,7 +90,8 @@ def test_streamed_lora_step_matches_resident():
 
     # streamed: same factors, base blocks parked on host unquantized
     trainer, lora_s, opt_s = make_streamed_lora_trainer(
-        model, params, tx, jax.random.PRNGKey(7), quantize="none")
+        model, params, tx, jax.random.PRNGKey(7), quantize="none",
+        bwd_chunk=bwd_chunk)
     # identical init by construction (same rng)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=0, atol=0),
