@@ -38,6 +38,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def relay_health():
+    """Two cheap indicators of the PJRT relay's current phase, reported
+    in every leg so captures self-document their environment: round-trip
+    latency of a tiny fenced dispatch, and a small fenced matmul. The
+    relay's server side shows hour-scale load phases (round 3: identical
+    legs measured 1x-3x apart with per-step medians unchanged); these
+    numbers let a reader normalize a capture without re-running it."""
+    out = {}
+    one = jnp.ones((8, 8), jnp.float32)
+    f = jax.jit(lambda a: jnp.sum(a * 2.0))
+    float(f(one))  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(one))
+        ts.append(time.perf_counter() - t0)
+    out["relay_dispatch_ms"] = round(1e3 * float(np.median(ts)), 1)
+    m = jnp.ones((2048, 2048), jnp.bfloat16)
+    g = jax.jit(lambda a: jnp.sum((a @ a).astype(jnp.float32)))
+    float(g(m))
+    t0 = time.perf_counter()
+    float(g(m))
+    out["relay_matmul_2k_ms"] = round(1e3 * (time.perf_counter() - t0), 1)
+    return out
+
+
 def _timed_chain(fn, params, x, t, ctx, y, clip, mpm, guidance=6.0):
     """Build a jitted n-step CFG denoise chain (data-dependent across steps).
 
@@ -149,7 +175,7 @@ def bench_denoise():
     steps_per_sec = (n_hi - n_lo) / max(t_hi - t_lo, 1e-9)
 
     # analytic model FLOPs for the CFG-doubled step
-    extra = {}
+    extra = relay_health()
     if size == "1.3b":
         cfg = DiTConfig(motion_guidance=True, **WAN_1_3B)
         lt, lh, lw = 13, 46, 64
@@ -250,7 +276,7 @@ def bench_two_stage():
     image = jnp.asarray(rs.rand(h, w, 3) * 2 - 1, jnp.float32)
     depth = jnp.asarray(1.0 + rs.rand(h, w) * 5.0, jnp.float32)
     prompt = mk(1, cfg4.text_len, cfg4.text_dim).astype(jnp.float32)
-    timings = {}
+    timings = relay_health()
 
     # Pin the TeaCache skip pattern in the output (VERDICT r2: skip-rate
     # variance was the prime suspect for run-to-run e2e instability).  The
@@ -534,7 +560,8 @@ def bench_train():
     tokens = lt * (lh // 2) * (lw // 2)
     flops = 3 * dit_forward_flops(cfg, tokens, batch=1)
     peak = detect_tpu_peak()
-    return {"steps_per_sec": round(1.0 / dt, 4),
+    return {**relay_health(),
+            "steps_per_sec": round(1.0 / dt, 4),
             "step_ms": round(dt * 1e3, 1),
             "tflops_per_s": round(flops / dt / 1e12, 1),
             "mfu_3x_fwd": round(flops / dt / peak, 4),
@@ -616,6 +643,7 @@ def bench_train_14b_lora():
     fwd = dit_forward_flops(cfg, tokens, batch=1)
     peak = detect_tpu_peak()
     return {
+        **relay_health(),
         "steps_per_sec": round(1.0 / dt, 4),
         "step_ms": round(dt * 1e3, 1),
         "compile_s": round(compile_s, 1),
@@ -649,7 +677,8 @@ def bench_two_stage_14b():
     frames, h, w = 49, 368, 512
     lt, lh, lw = (frames - 1) // 4 + 1, h // 8, w // 8
     n_steps = int(os.environ.get("MORE4D_BENCH_14B_E2E_STEPS", "6"))
-    out = {"measured_steps_per_stage": n_steps, "extrapolated_to": 50}
+    out = {"measured_steps_per_stage": n_steps, "extrapolated_to": 50,
+           **relay_health()}
     rng = jax.random.PRNGKey(0)
     lat0 = jax.random.normal(rng, (1, lt, lh, lw, 16), jnp.float32)
     vae = WanVAE(VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16))
