@@ -878,20 +878,25 @@ _LEGS = {
 # never started-and-killed — a killed leg wastes its whole slice.
 _DEFAULT_RUN = [
     ("denoise", "MORE4D_BENCH_DENOISE", 150),
+    # train BEFORE the 14B leg: it costs 50-90 s warm, while the 14B leg
+    # eats 450-700 s regardless of cache state (per-process server-side
+    # graph warmup ~70-90 s/graph + ~140 s host fp8 parking of two 17B
+    # trees), so placed after it the train leg kept getting killed at the
+    # budget tail (BENCH r3 dress runs: "timed out after 205s/268s")
+    ("train_1.3b", "MORE4D_BENCH_TRAIN", 110),
     # two_stage_14b's stage-1 measures the EXACT config of the old
     # standalone 14b leg (motion-guided 64ch Control, CFG-doubled,
     # streamed fp8), so one leg yields both the 14b_measured block and
     # the flagship-config e2e per-stage record — see the 14b_measured
     # synthesis in main()
     ("two_stage_14b", "MORE4D_BENCH_14B_E2E", 250),
-    ("train_1.3b", "MORE4D_BENCH_TRAIN", 110),
-    # 1.3B e2e before the 14B LoRA leg: with everything warm all five fit
-    # ~900 s, but if the budget runs short the leg dropped should be the
-    # one whose number also appears in COVERAGE.md, and the e2e leg
-    # resolves the round-2 reproducibility dispute.  The driver-default
-    # e2e leg skips the batched-sweep k-probe (MORE4D_BENCH_SWEEP_K=0
-    # below): the probe costs ~180 s and its conclusion — serial beats
-    # batched on one chip now that per-traj stage-2 is 9.2 s — is stable.
+    # 1.3B e2e before the 14B LoRA leg: if the budget runs short the leg
+    # dropped should be the one whose number also appears in COVERAGE.md,
+    # and the e2e leg resolves the round-2 reproducibility dispute.  The
+    # driver-default e2e leg skips the batched-sweep k-probe
+    # (MORE4D_BENCH_SWEEP_K=0 below): the probe costs ~180 s and its
+    # conclusion — serial beats batched on one chip now that per-traj
+    # stage-2 is 9.2 s — is stable.
     ("two_stage_1.3b", "MORE4D_BENCH_E2E", 200),
     ("train_14b_lora", "MORE4D_BENCH_14B_LORA", 180),
     ("14b_measured", "MORE4D_BENCH_14B", 150),
