@@ -97,6 +97,39 @@ def build_parser():
     # (VERDICT r2 weak #5)
     p.add_argument("--use_gs", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--trajectories", default=None,
+                   help="subset of the 11-trajectory sweep: comma-separated "
+                        "indices (0-10) and/or base names (e.g. "
+                        "'static,3,surrounding'); default = the full "
+                        "reference sweep (infer.py:51)")
+    p.add_argument("--fps", type=int, default=8,
+                   help="mp4 frame rate (reference --fps)")
+    p.add_argument("--num_skip_start_steps", type=int, default=5,
+                   help="TeaCache warm steps before skipping can begin "
+                        "(reference --num_skip_start_steps)")
+    p.add_argument("--normalize_track_z", action="store_true",
+                   help="treat the decoded flow as absolute offsets instead "
+                        "of depth-guided-normalized (reference "
+                        "--normalize_track_z, infer.py:858-866)")
+    # ---- stage gating (reference --run_stage1/--run_stage2_complete/
+    # --only_render, infer.py:1085-1122): stages are resumable through
+    # {image}_coords.npy/_colors.npy in --output_dir
+    p.add_argument("--run_stage1", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-run_stage1 (or --only_render) loads "
+                        "{image}_coords.npy/_colors.npy from --output_dir "
+                        "instead of generating them")
+    p.add_argument("--only_render", action="store_true",
+                   help="alias for --no-run_stage1 (reference spelling)")
+    p.add_argument("--run_stage2_complete",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="--no-run_stage2_complete stops after the raw "
+                        "trajectory renders + hole masks (the reference's "
+                        "stage-1-only mode; skips loading the InP DiT)")
+    p.add_argument("--save_renders", action="store_true",
+                   help="also write the raw trajectory renders + hole "
+                        "masks (stage1_render_results analog, "
+                        "infer.py:906-924)")
     p.add_argument("--seed", type=int, default=43)
     p.add_argument("--fsdp", action="store_true",
                    help="shard the 14B params over all local devices")
@@ -121,7 +154,7 @@ def main():
                                    dit_1_3b)
     from more4d_tpu.convert.dit_torch import load_wan_dit
     from more4d_tpu.convert.vae_torch import load_wan_vae
-    from more4d_tpu.infer import TwoStageModels, run_two_stage
+    from more4d_tpu.infer import TwoStageModels
     from more4d_tpu.models import WanDiT
     from more4d_tpu.models.adaptors import (VAEDecoderAdaptor,
                                             convert_adaptor_state_dict)
@@ -152,10 +185,14 @@ def main():
         vae_cfg = VAEConfig()
     vae = WanVAE(vae_cfg)
 
+    if args.only_render:
+        args.run_stage1 = False
+
     print("loading checkpoints ...")
-    p4 = load_wan_dit(args.control_ckpt, cfg4)
-    p_inp = load_wan_dit(args.inp_ckpt, cfg_inp)
-    if args.vism_lora:
+    p4 = load_wan_dit(args.control_ckpt, cfg4) if args.run_stage1 else None
+    p_inp = (load_wan_dit(args.inp_ckpt, cfg_inp)
+             if args.run_stage2_complete else None)
+    if args.vism_lora and p_inp is not None:
         # reference merges the ViSM LoRA at weight 0.55 (infer.py:1031)
         from more4d_tpu.convert.lora_torch import load_vism_lora
 
@@ -182,8 +219,8 @@ def main():
         from more4d_tpu.parallel import (MeshConfig, create_mesh, set_mesh,
                                          shard_params)
         mesh = create_mesh(MeshConfig(data=1, fsdp=-1, seq=args.sp))
-        p4 = shard_params(p4, mesh)
-        p_inp = shard_params(p_inp, mesh)
+        p4 = shard_params(p4, mesh) if p4 is not None else None
+        p_inp = shard_params(p_inp, mesh) if p_inp is not None else None
         if args.sp > 1:
             set_mesh(mesh)   # routes DiT self-attention through Ulysses
 
@@ -200,7 +237,8 @@ def main():
                      else "wan2.1-fun-1.3b")
         teacache = TeaCacheConfig(
             coefficients=tuple(TEACACHE_COEFFICIENTS[coeff_key]),
-            rel_l1_thresh=args.teacache_threshold, num_skip_start_steps=5)
+            rel_l1_thresh=args.teacache_threshold,
+            num_skip_start_steps=args.num_skip_start_steps)
     ctrl = WanControlPipeline(dit4, vae, pcfg, teacache=teacache)
     inp = WanInpaintPipeline(dit_inp, vae, pcfg, teacache=teacache)
 
@@ -209,8 +247,10 @@ def main():
         # (fp8_optimization.py:19); flax promotes the fp8 kernels to bf16
         # inside the jitted graph, so HBM holds (and reads) fp8
         from more4d_tpu.utils.quantize import quantize_params_fp8
-        p4 = quantize_params_fp8(p4, scaled=False)
-        p_inp = quantize_params_fp8(p_inp, scaled=False)
+        if p4 is not None:
+            p4 = quantize_params_fp8(p4, scaled=False)
+        if p_inp is not None:
+            p_inp = quantize_params_fp8(p_inp, scaled=False)
     if args.offload_blocks:
         # stream block weights from pinned host memory (StreamedDiT):
         # required for the 14B checkpoints on a single 16 GiB chip
@@ -218,24 +258,28 @@ def main():
                                                  offload_blocks_to_host,
                                                  split_block_params)
         quant = "fp8"
-        res4, stack4 = split_block_params(p4)
-        ctrl.streamed_dit = StreamedDiT(
-            dit4, res4, offload_blocks_to_host(stack4, cfg4.num_layers,
-                                               quantize=quant),
-            rope_tables=ctrl.rope_tables)
-        res_i, stack_i = split_block_params(p_inp)
-        inp.streamed_dit = StreamedDiT(
-            dit_inp, res_i,
-            offload_blocks_to_host(stack_i, cfg_inp.num_layers,
-                                   quantize=quant),
-            rope_tables=inp.rope_tables)
-        del p4, p_inp, stack4, stack_i
-        p4, p_inp = res4, res_i
+        if p4 is not None:
+            res4, stack4 = split_block_params(p4)
+            ctrl.streamed_dit = StreamedDiT(
+                dit4, res4, offload_blocks_to_host(stack4, cfg4.num_layers,
+                                                   quantize=quant),
+                rope_tables=ctrl.rope_tables)
+            del p4, stack4
+            p4 = res4
+        if p_inp is not None:
+            res_i, stack_i = split_block_params(p_inp)
+            inp.streamed_dit = StreamedDiT(
+                dit_inp, res_i,
+                offload_blocks_to_host(stack_i, cfg_inp.num_layers,
+                                       quantize=quant),
+                rope_tables=inp.rope_tables)
+            del p_inp, stack_i
+            p_inp = res_i
 
     depth_kw = {}
     if args.depth_provider == "precomputed":
         depth_kw["directory"] = args.depth_dir
-    elif args.depth_provider == "unidepth_jax":
+    elif args.depth_provider == "unidepth_jax" and args.run_stage1:
         if not args.depth_ckpt:
             # random-weight depth would silently poison the whole 4D
             # output — fail loudly like the missing-T5 case
@@ -245,7 +289,10 @@ def main():
                 "--depth_provider precomputed --depth_dir DIR, or "
                 "--depth_provider constant for smoke tests.")
         depth_kw["ckpt"] = args.depth_ckpt
-    depth = get_depth_provider(args.depth_provider, **depth_kw)
+    # --no-run_stage1 loads saved point clouds: no depth lift runs, so
+    # don't demand (or build) a depth model at all
+    depth = (get_depth_provider(args.depth_provider, **depth_kw)
+             if args.run_stage1 else None)
 
     models = TwoStageModels(
         control_pipeline=ctrl, inpaint_pipeline=inp, dit4d_params=p4,
@@ -255,27 +302,91 @@ def main():
         encode_image_clip=encoders.encode_clip,
         extract_mpm=encoders.extract_mpm, estimate_depth=depth)
 
-    image = np.asarray(Image.open(args.image).convert("RGB"),
-                       np.float32) / 255.0
-    out = run_two_stage(models, image, args.prompt, args.negative_prompt,
-                        use_gs=args.use_gs,
-                        rng=jax.random.PRNGKey(args.seed),
-                        stage2_batch=args.stage2_batch,
-                        stage2_denoise_group=args.stage2_denoise_group)
+    # ---- trajectory subset (reference sweeps all 11, infer.py:51)
+    from more4d_tpu.geometry.cameras import TRAJECTORY_TYPES
 
+    traj_types = None
+    if args.trajectories:
+        picked = []
+        for tok in args.trajectories.split(","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            if tok.isdigit():
+                idx = int(tok)
+                if idx >= len(TRAJECTORY_TYPES):
+                    raise SystemExit(
+                        f"trajectory index {idx} out of range "
+                        f"0-{len(TRAJECTORY_TYPES) - 1}")
+                picked.append(TRAJECTORY_TYPES[idx])
+            else:
+                match = [t for t in TRAJECTORY_TYPES if t[0] == tok]
+                if not match:
+                    names = sorted({t[0] for t in TRAJECTORY_TYPES})
+                    raise SystemExit(f"unknown trajectory {tok!r}; "
+                                     f"names: {', '.join(names)}")
+                picked.extend(match)
+        traj_types = picked
+
+    from more4d_tpu.infer.two_stage import (render_trajectories,
+                                            stage1_generate,
+                                            stage2_inpaint_batch)
     from more4d_tpu.utils import save_pointcloud_txt, save_videos_grid
 
     name = os.path.splitext(os.path.basename(args.image))[0]
-    np.save(os.path.join(args.output_dir, f"{name}_coords.npy"),
-            out["coords"])
-    # per-frame point clouds as txt (infer.py:870-871 save_point_cloud_to_txt)
-    save_pointcloud_txt(
-        os.path.join(args.output_dir, f"{name}_frame0.txt"),
-        out["coords"][0], out["colors"])
-    for v in out["videos"]:
-        path = os.path.join(args.output_dir, f"{name}_{v['name']}.mp4")
-        save_videos_grid(path, v["video"][None], fps=8)
-        print("wrote", path)
+    coords_path = os.path.join(args.output_dir, f"{name}_coords.npy")
+    colors_path = os.path.join(args.output_dir, f"{name}_colors.npy")
+    rng1, rng2 = jax.random.split(jax.random.PRNGKey(args.seed))
+
+    if args.run_stage1:
+        image = np.asarray(Image.open(args.image).convert("RGB"),
+                           np.float32) / 255.0
+        coords, colors = stage1_generate(
+            models, image, args.prompt, args.negative_prompt, rng=rng1,
+            normalize_track_z=args.normalize_track_z)
+        np.save(coords_path, coords)
+        np.save(colors_path, colors)
+        # frame-0 point cloud as txt (infer.py:870-871
+        # save_point_cloud_to_txt)
+        save_pointcloud_txt(
+            os.path.join(args.output_dir, f"{name}_frame0.txt"),
+            coords[0], colors)
+    else:
+        # reference --only_render: resume from the saved stage-1 clouds
+        # (load_pointcloud_data, infer.py:898-901)
+        if not (os.path.exists(coords_path)
+                and os.path.exists(colors_path)):
+            raise SystemExit(f"--no-run_stage1 needs {coords_path} and "
+                             f"{colors_path} from a prior stage-1 run")
+        coords, colors = np.load(coords_path), np.load(colors_path)
+
+    renders = render_trajectories(coords, colors, args.height, args.width,
+                                  traj_types, args.use_gs)
+    if args.save_renders or not args.run_stage2_complete:
+        for r in renders:
+            rp = os.path.join(args.output_dir,
+                              f"{name}_{r['name']}_render.mp4")
+            save_videos_grid(rp, r["frames"][None], fps=args.fps)
+            save_videos_grid(
+                os.path.join(args.output_dir,
+                             f"{name}_{r['name']}_mask.mp4"),
+                np.repeat(np.asarray(r["mask"], np.float32)[..., None],
+                          3, -1)[None], fps=args.fps)
+            print("wrote", rp)
+    if not args.run_stage2_complete:
+        return
+
+    for c0 in range(0, len(renders), max(args.stage2_batch, 1)):
+        chunk = renders[c0:c0 + max(args.stage2_batch, 1)]
+        outs = stage2_inpaint_batch(
+            models, chunk, args.prompt, args.negative_prompt,
+            rng=jax.random.fold_in(rng2, c0),
+            denoise_group=args.stage2_denoise_group)
+        for render, vid in zip(chunk, outs):
+            path = os.path.join(args.output_dir,
+                                f"{name}_{render['name']}.mp4")
+            save_videos_grid(path, vid[None], fps=args.fps)
+            print("wrote", path)
 
 
 if __name__ == "__main__":

@@ -82,23 +82,12 @@ def test_infer_cli_end_to_end(tmp_path, ckpt_dir, monkeypatch):
         "--height", str(H), "--width", str(W),
         "--num_frames", str(FRAMES), "--num_inference_steps", "2",
         "--depth_provider", "constant", "--stage2_batch", "2",
+        # 3 of the 11 sweep types via the CLI's own subset flag (mixed
+        # index/name tokens); odd count also exercises the
+        # stage2_batch=2 chunking remainder
+        "--trajectories", "static,1,3",
     ]
     monkeypatch.setattr(sys, "argv", argv)
-
-    # limit the camera sweep for speed (3 of the 11 types; odd count also
-    # exercises the stage2_batch=2 chunking remainder)
-    import more4d_tpu.infer as infer_pkg
-    import more4d_tpu.infer.two_stage as ts
-
-    full = ts.run_two_stage
-
-    def limited(*a, **kw):
-        kw["trajectory_types"] = [("static", {}), ("circle_rotating", {}),
-                                  ("forward_backward", {})]
-        return full(*a, **kw)
-
-    monkeypatch.setattr(ts, "run_two_stage", limited)
-    monkeypatch.setattr(infer_pkg, "run_two_stage", limited)
 
     import importlib
 
@@ -112,6 +101,52 @@ def test_infer_cli_end_to_end(tmp_path, ckpt_dir, monkeypatch):
         out_dir, [f for f in wrote if f.endswith("_coords.npy")][0]))
     assert coords.shape == (FRAMES, H * W, 3)
     assert np.isfinite(coords).all()
+
+
+def test_infer_cli_stage_gating_resume(tmp_path, ckpt_dir, monkeypatch):
+    """Reference stage gating (--run_stage1/--run_stage2_complete/
+    --only_render, infer.py:1085-1122): a stage-1-only run persists the
+    point clouds + raw renders, and a later --only_render run resumes
+    from them and produces the inpainted video without re-running (or
+    even loading) stage 1."""
+    from PIL import Image
+
+    img = (np.random.RandomState(1).rand(H, W, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "img.png")
+    out_dir = tmp_path / "out"
+
+    base = [
+        "infer.py", "--image", str(tmp_path / "img.png"),
+        "--prompt", "a tiny smoke test",
+        "--control_ckpt", str(ckpt_dir / "control.pth"),
+        "--inp_ckpt", str(ckpt_dir / "inp.pth"),
+        "--vae_ckpt", str(ckpt_dir / "vae.pth"),
+        "--decoder_adaptor", str(ckpt_dir / "dec.bin"),
+        "--output_dir", str(out_dir),
+        "--model_size", "tiny", "--adaptor_ch", "64",
+        "--allow_dummy_text",
+        "--height", str(H), "--width", str(W),
+        "--num_frames", str(FRAMES), "--num_inference_steps", "2",
+        "--depth_provider", "constant", "--trajectories", "0",
+    ]
+    import importlib
+
+    infer_cli = importlib.import_module("infer")
+
+    monkeypatch.setattr(sys, "argv",
+                        base + ["--no-run_stage2_complete"])
+    infer_cli.main()
+    wrote = sorted(os.listdir(out_dir))
+    assert any(f.endswith("_coords.npy") for f in wrote), wrote
+    assert any(f.endswith("_colors.npy") for f in wrote), wrote
+    assert any(f.endswith("_render.mp4") for f in wrote), wrote
+    assert any(f.endswith("_mask.mp4") for f in wrote), wrote
+    assert not any(f.endswith("static_0.mp4") for f in wrote), wrote
+
+    monkeypatch.setattr(sys, "argv", base + ["--only_render"])
+    infer_cli.main()
+    wrote = sorted(os.listdir(out_dir))
+    assert any(f.endswith("static_0.mp4") for f in wrote), wrote
 
 
 def test_no_use_gs_reaches_zbuffer_renderer(monkeypatch):
