@@ -89,6 +89,12 @@ class StraagTrainer:
         self.validation_pipeline = validation_pipeline
 
         self.tx = tx if tx is not None else optax.adamw(tcfg.learning_rate)
+        if tcfg.grad_accum_steps > 1:
+            # mean-gradient accumulation over k micro-steps (reference
+            # --gradient_accumulation_steps); wraps the caller's tx
+            # (CAME / two-tier LR) too
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=tcfg.grad_accum_steps)
         # PRIVATE copies: the step jit donates params/opt/ema buffers, so
         # the trainer must own them exclusively — device_put may alias the
         # caller's arrays when the sharding already matches, and a donated

@@ -56,6 +56,12 @@ class StraagTrainConfig:
     world_size: int = 1
     ema_decay: float = 0.9999
     use_ema: bool = True
+    # micro-batch gradient accumulation (reference
+    # --gradient_accumulation_steps, train_wan.py via accelerate): the
+    # optimizer applies the mean gradient every k-th step
+    # (optax.MultiSteps wrap in the harness); loss guards and metrics
+    # still run per micro-step
+    grad_accum_steps: int = 1
 
 
 def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,

@@ -39,6 +39,10 @@ def parse_args():
     p.add_argument("--output_dir", default="straag_ckpt")
     p.add_argument("--batch_size", type=int, default=1,
                    help="per-step batch; sharded over the mesh data axis")
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="micro-batch gradient accumulation: apply the "
+                        "mean gradient every k-th step (reference "
+                        "--gradient_accumulation_steps)")
     p.add_argument("--learning_rate", type=float, default=2e-5)
     p.add_argument("--optimizer", default="adamw",
                    choices=["adamw", "came"],
@@ -178,7 +182,8 @@ def main():
     tcfg = StraagTrainConfig(learning_rate=args.learning_rate,
                              max_grad_norm=args.max_grad_norm,
                              motion_sub_loss=args.motion_sub_loss,
-                             world_size=mesh.shape["data"])
+                             world_size=mesh.shape["data"],
+                             grad_accum_steps=args.grad_accum_steps)
     rcfg = StraagRunConfig(
         output_dir=args.output_dir, batch_size=args.batch_size,
         max_steps=args.max_steps,

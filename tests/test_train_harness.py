@@ -338,3 +338,44 @@ def test_trainable_filter_and_grad_norm_report(models, tmp_path):
     gn_keys = [k for l in lines for k in l if k.startswith("grad_norm/")]
     assert gn_keys, "no per-parameter grad norms logged"
     assert any("head" in k for k in gn_keys)
+
+
+def test_grad_accumulation(models, tmp_path):
+    """grad_accum_steps=2 (reference --gradient_accumulation_steps):
+    params are unchanged after the first micro-step and move only when
+    the accumulation window closes."""
+    dit, dcfg, params, vae, vae_params, enc, enc_params = models
+    encode_text, encode_clip, extract_mpm = _tiny_encoders(dcfg)
+    mesh = create_mesh(MeshConfig(data=1, fsdp=-1, seq=1))
+    tcfg = StraagTrainConfig(learning_rate=1e-3, world_size=1,
+                             abnormal_loss_threshold=1e9, use_ema=False,
+                             grad_accum_steps=2)
+    rcfg = StraagRunConfig(output_dir=str(tmp_path / "ga"), batch_size=1,
+                           max_steps=2, checkpointing_steps=100,
+                           log_steps=1, seed=0,
+                           text_dropout=0.0, control_dropout=0.0)
+    trainer = StraagTrainer(
+        dit, params, vae, vae_params, enc, enc_params, encode_text, mesh,
+        tcfg, rcfg, encode_clip=encode_clip, extract_mpm=extract_mpm)
+    before = jax.tree_util.tree_map(np.asarray, trainer.params)
+    batch = trainer.prepare_batch([_sample(0)], ["a scene"])
+
+    key = jax.random.PRNGKey(0)
+    (trainer.params, trainer.opt_state, trainer.ema,
+     m1) = trainer.step_fn(trainer.params, trainer.opt_state, trainer.ema,
+                           batch, key, 100)
+    assert np.isfinite(float(m1["loss"]))
+    mid = jax.tree_util.tree_map(np.asarray, trainer.params)
+    same = all(np.array_equal(b, m) for b, m in
+               zip(jax.tree_util.tree_leaves(before),
+                   jax.tree_util.tree_leaves(mid)))
+    assert same, "params moved inside the accumulation window"
+
+    (trainer.params, trainer.opt_state, trainer.ema,
+     m2) = trainer.step_fn(trainer.params, trainer.opt_state, trainer.ema,
+                           batch, key, 101)
+    after = jax.tree_util.tree_map(np.asarray, trainer.params)
+    moved = max(float(np.abs(a - b).max()) for b, a in
+                zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)))
+    assert moved > 0.0, "params did not move when the window closed"
