@@ -35,8 +35,20 @@ def parse_args():
 
 def build_parser():
     p = argparse.ArgumentParser()
-    p.add_argument("--image", required=True)
-    p.add_argument("--prompt", required=True)
+    p.add_argument("--image", default=None)
+    p.add_argument("--prompt", default=None)
+    p.add_argument("--image_dir", default=None,
+                   help="batch mode: process every image in this "
+                        "directory (reference --data_path loop); model "
+                        "loads and compiled graphs amortize across "
+                        "samples")
+    p.add_argument("--prompts_json", default=None,
+                   help="batch mode: {image_basename: prompt} map "
+                        "(reference --prompt_file_name); --prompt is "
+                        "the shared fallback")
+    p.add_argument("--max_samples", type=int, default=None,
+                   help="batch mode: cap the sweep (reference "
+                        "--max_samples)")
     p.add_argument("--negative_prompt", default="")
     p.add_argument("--control_ckpt", required=True)
     p.add_argument("--inp_ckpt", required=True)
@@ -187,6 +199,10 @@ def main():
 
     if args.only_render:
         args.run_stage1 = False
+    if bool(args.image) == bool(args.image_dir):
+        raise SystemExit("give exactly one of --image or --image_dir")
+    if args.image and not args.prompt:
+        raise SystemExit("--prompt is required with --image")
 
     print("loading checkpoints ...")
     p4 = load_wan_dit(args.control_ckpt, cfg4) if args.run_stage1 else None
@@ -333,60 +349,98 @@ def main():
                                             stage2_inpaint_batch)
     from more4d_tpu.utils import save_pointcloud_txt, save_videos_grid
 
-    name = os.path.splitext(os.path.basename(args.image))[0]
-    coords_path = os.path.join(args.output_dir, f"{name}_coords.npy")
-    colors_path = os.path.join(args.output_dir, f"{name}_colors.npy")
-    rng1, rng2 = jax.random.split(jax.random.PRNGKey(args.seed))
+    def process_sample(image_path, prompt, sample_rng):
+        name = os.path.splitext(os.path.basename(image_path))[0]
+        coords_path = os.path.join(args.output_dir, f"{name}_coords.npy")
+        colors_path = os.path.join(args.output_dir, f"{name}_colors.npy")
+        rng1, rng2 = jax.random.split(sample_rng)
 
-    if args.run_stage1:
-        image = np.asarray(Image.open(args.image).convert("RGB"),
-                           np.float32) / 255.0
-        coords, colors = stage1_generate(
-            models, image, args.prompt, args.negative_prompt, rng=rng1,
-            normalize_track_z=args.normalize_track_z)
-        np.save(coords_path, coords)
-        np.save(colors_path, colors)
-        # frame-0 point cloud as txt (infer.py:870-871
-        # save_point_cloud_to_txt)
-        save_pointcloud_txt(
-            os.path.join(args.output_dir, f"{name}_frame0.txt"),
-            coords[0], colors)
+        if args.run_stage1:
+            image = np.asarray(Image.open(image_path).convert("RGB"),
+                               np.float32) / 255.0
+            coords, colors = stage1_generate(
+                models, image, prompt, args.negative_prompt, rng=rng1,
+                normalize_track_z=args.normalize_track_z)
+            np.save(coords_path, coords)
+            np.save(colors_path, colors)
+            # frame-0 point cloud as txt (infer.py:870-871
+            # save_point_cloud_to_txt)
+            save_pointcloud_txt(
+                os.path.join(args.output_dir, f"{name}_frame0.txt"),
+                coords[0], colors)
+        else:
+            # reference --only_render: resume from the saved stage-1
+            # clouds (load_pointcloud_data, infer.py:898-901)
+            if not (os.path.exists(coords_path)
+                    and os.path.exists(colors_path)):
+                raise SystemExit(f"--no-run_stage1 needs {coords_path} "
+                                 f"and {colors_path} from a prior "
+                                 f"stage-1 run")
+            coords, colors = np.load(coords_path), np.load(colors_path)
+
+        renders = render_trajectories(coords, colors, args.height,
+                                      args.width, traj_types, args.use_gs)
+        if args.save_renders or not args.run_stage2_complete:
+            for r in renders:
+                rp = os.path.join(args.output_dir,
+                                  f"{name}_{r['name']}_render.mp4")
+                save_videos_grid(rp, r["frames"][None], fps=args.fps)
+                save_videos_grid(
+                    os.path.join(args.output_dir,
+                                 f"{name}_{r['name']}_mask.mp4"),
+                    np.repeat(np.asarray(r["mask"],
+                                         np.float32)[..., None],
+                              3, -1)[None], fps=args.fps)
+                print("wrote", rp)
+        if not args.run_stage2_complete:
+            return
+
+        for c0 in range(0, len(renders), max(args.stage2_batch, 1)):
+            chunk = renders[c0:c0 + max(args.stage2_batch, 1)]
+            outs = stage2_inpaint_batch(
+                models, chunk, prompt, args.negative_prompt,
+                rng=jax.random.fold_in(rng2, c0),
+                denoise_group=args.stage2_denoise_group)
+            for render, vid in zip(chunk, outs):
+                path = os.path.join(args.output_dir,
+                                    f"{name}_{render['name']}.mp4")
+                save_videos_grid(path, vid[None], fps=args.fps)
+                print("wrote", path)
+
+    # ---- sample list: one --image, or a --image_dir sweep (the
+    # reference iterates a dataset directory with a prompt file,
+    # infer.py --data_path/--prompt_file_name/--max_samples); model
+    # loading and compiled graphs amortize across samples
+    if args.image_dir:
+        import glob as _glob
+
+        paths = sorted(p for ext in ("png", "jpg", "jpeg", "webp")
+                       for p in _glob.glob(
+                           os.path.join(args.image_dir, f"*.{ext}")))
+        if args.max_samples:
+            paths = paths[:args.max_samples]
+        if not paths:
+            raise SystemExit(f"no images in {args.image_dir}")
+        prompts = {}
+        if args.prompts_json:
+            import json as _json
+
+            with open(args.prompts_json) as f:
+                prompts = _json.load(f)
+        for i, pth in enumerate(paths):
+            key = os.path.splitext(os.path.basename(pth))[0]
+            prompt = prompts.get(key, args.prompt)
+            if prompt is None:
+                raise SystemExit(f"no prompt for {key!r}: add it to "
+                                 f"--prompts_json or set --prompt as "
+                                 f"the shared fallback")
+            print(f"[{i + 1}/{len(paths)}] {pth}")
+            process_sample(
+                pth, prompt,
+                jax.random.fold_in(jax.random.PRNGKey(args.seed), i))
     else:
-        # reference --only_render: resume from the saved stage-1 clouds
-        # (load_pointcloud_data, infer.py:898-901)
-        if not (os.path.exists(coords_path)
-                and os.path.exists(colors_path)):
-            raise SystemExit(f"--no-run_stage1 needs {coords_path} and "
-                             f"{colors_path} from a prior stage-1 run")
-        coords, colors = np.load(coords_path), np.load(colors_path)
-
-    renders = render_trajectories(coords, colors, args.height, args.width,
-                                  traj_types, args.use_gs)
-    if args.save_renders or not args.run_stage2_complete:
-        for r in renders:
-            rp = os.path.join(args.output_dir,
-                              f"{name}_{r['name']}_render.mp4")
-            save_videos_grid(rp, r["frames"][None], fps=args.fps)
-            save_videos_grid(
-                os.path.join(args.output_dir,
-                             f"{name}_{r['name']}_mask.mp4"),
-                np.repeat(np.asarray(r["mask"], np.float32)[..., None],
-                          3, -1)[None], fps=args.fps)
-            print("wrote", rp)
-    if not args.run_stage2_complete:
-        return
-
-    for c0 in range(0, len(renders), max(args.stage2_batch, 1)):
-        chunk = renders[c0:c0 + max(args.stage2_batch, 1)]
-        outs = stage2_inpaint_batch(
-            models, chunk, args.prompt, args.negative_prompt,
-            rng=jax.random.fold_in(rng2, c0),
-            denoise_group=args.stage2_denoise_group)
-        for render, vid in zip(chunk, outs):
-            path = os.path.join(args.output_dir,
-                                f"{name}_{render['name']}.mp4")
-            save_videos_grid(path, vid[None], fps=args.fps)
-            print("wrote", path)
+        process_sample(args.image, args.prompt,
+                       jax.random.PRNGKey(args.seed))
 
 
 if __name__ == "__main__":

@@ -149,6 +149,52 @@ def test_infer_cli_stage_gating_resume(tmp_path, ckpt_dir, monkeypatch):
     assert any(f.endswith("static_0.mp4") for f in wrote), wrote
 
 
+def test_infer_cli_batch_mode(tmp_path, ckpt_dir, monkeypatch):
+    """--image_dir sweeps a directory with a --prompts_json map and a
+    --prompt fallback (the reference's dataset loop,
+    infer.py --data_path/--prompt_file_name/--max_samples)."""
+    import json
+
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    for i, name in enumerate(["a", "b", "c"]):
+        arr = (np.random.RandomState(i).rand(H, W, 3) * 255)
+        Image.fromarray(arr.astype(np.uint8)).save(img_dir / f"{name}.png")
+    (tmp_path / "prompts.json").write_text(
+        json.dumps({"a": "a specific prompt"}))
+    out_dir = tmp_path / "out"
+
+    argv = [
+        "infer.py", "--image_dir", str(img_dir),
+        "--prompts_json", str(tmp_path / "prompts.json"),
+        "--prompt", "shared fallback", "--max_samples", "2",
+        "--control_ckpt", str(ckpt_dir / "control.pth"),
+        "--inp_ckpt", str(ckpt_dir / "inp.pth"),
+        "--vae_ckpt", str(ckpt_dir / "vae.pth"),
+        "--decoder_adaptor", str(ckpt_dir / "dec.bin"),
+        "--output_dir", str(out_dir),
+        "--model_size", "tiny", "--adaptor_ch", "64",
+        "--allow_dummy_text",
+        "--height", str(H), "--width", str(W),
+        "--num_frames", str(FRAMES), "--num_inference_steps", "2",
+        "--depth_provider", "constant", "--trajectories", "0",
+        "--no-run_stage2_complete",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    import importlib
+
+    infer_cli = importlib.import_module("infer")
+    infer_cli.main()
+
+    wrote = sorted(os.listdir(out_dir))
+    for name in ("a", "b"):  # c cut by --max_samples 2
+        assert f"{name}_coords.npy" in wrote, wrote
+        assert f"{name}_static_0_render.mp4" in wrote, wrote
+    assert not any(f.startswith("c_") for f in wrote), wrote
+
+
 def test_no_use_gs_reaches_zbuffer_renderer(monkeypatch):
     """--no-use_gs must be expressible (the old store_true/default=True
     made the flag a no-op, VERDICT r2 weak #5) and must route rendering to
