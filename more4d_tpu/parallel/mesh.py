@@ -48,6 +48,23 @@ class MeshConfig:
         return out
 
 
+def parse_mesh_spec(spec: Optional[str]) -> Optional[MeshConfig]:
+    """CLI mesh topology: 'data=2,fsdp=4' (unnamed axes default; -1
+    absorbs the remaining devices). None/'' keeps the MeshConfig
+    defaults (all devices on the fsdp axis)."""
+    if not spec:
+        return None
+    kw = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in ("data", "fsdp", "seq"):
+            raise ValueError(f"unknown mesh axis {k!r} "
+                             "(expected data/fsdp/seq)")
+        kw[k] = int(v)
+    return MeshConfig(**kw)
+
+
 def create_mesh(config: Optional[MeshConfig] = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()

@@ -39,6 +39,12 @@ def parse_args():
     p.add_argument("--output_dir", default="straag_ckpt")
     p.add_argument("--batch_size", type=int, default=1,
                    help="per-step batch; sharded over the mesh data axis")
+    p.add_argument("--mesh", default=None,
+                   help="device-mesh topology, e.g. 'data=2,fsdp=4' "
+                        "(-1 absorbs remaining devices; default: all "
+                        "devices on the fsdp axis). The accelerate/"
+                        "DeepSpeed-launcher equivalent — see "
+                        "docs/MIGRATION.md §5")
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="micro-batch gradient accumulation: apply the "
                         "mean gradient every k-th step (reference "
@@ -152,7 +158,7 @@ def main():
     from more4d_tpu.models.adaptors import (VAEEncoderAdaptor,
                                             convert_adaptor_state_dict)
     from more4d_tpu.models.wan_vae import WanVAE
-    from more4d_tpu.parallel import create_mesh
+    from more4d_tpu.parallel import create_mesh, parse_mesh_spec
     from more4d_tpu.pipelines import WanControlPipeline
     from more4d_tpu.train.harness import (StraagRunConfig, StraagTrainer)
     from more4d_tpu.train.train_straag import StraagTrainConfig
@@ -178,7 +184,7 @@ def main():
         text_dim=cfg.text_dim, text_len=cfg.text_len,
         allow_dummy_text=args.allow_dummy_text)
 
-    mesh = create_mesh()
+    mesh = create_mesh(parse_mesh_spec(args.mesh))
     tcfg = StraagTrainConfig(learning_rate=args.learning_rate,
                              max_grad_norm=args.max_grad_norm,
                              motion_sub_loss=args.motion_sub_loss,

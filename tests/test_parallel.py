@@ -100,3 +100,21 @@ def test_sequence_parallel_dit_forward_matches_single():
             p, x, t, c, y=y, clip_fea=cl))(params_sh, x, t, ctx, y, clip)
     np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_single),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_parse_mesh_spec():
+    """--mesh CLI spec -> MeshConfig (docs/MIGRATION.md §5)."""
+    import pytest
+
+    from more4d_tpu.parallel import MeshConfig, parse_mesh_spec
+
+    assert parse_mesh_spec(None) is None
+    assert parse_mesh_spec("") is None
+    cfg = parse_mesh_spec("data=2,fsdp=4")
+    assert (cfg.data, cfg.fsdp, cfg.seq) == (2, 4, 1)
+    r = parse_mesh_spec("data=2,fsdp=-1").resolve(8)
+    assert (r.data, r.fsdp, r.seq) == (2, 4, 1)
+    r = parse_mesh_spec("seq=2,fsdp=-1").resolve(8)
+    assert (r.data, r.fsdp, r.seq) == (1, 4, 2)
+    with pytest.raises(ValueError):
+        parse_mesh_spec("tensor=2")
