@@ -15,8 +15,15 @@ from .wan_vae import WanVAE
 
 
 def encode_streamed(model: WanVAE, params, x, normalize: bool = True,
-                    static_hint: bool = False):
+                    static_hint: bool = False, latents_per_step: int = 1):
     """x: [B, T, H, W, 3] with T = 1 + 4k -> (mu, logvar).
+
+    ``latents_per_step``: latent frames produced per scan step (the
+    chunk is 4x that many input frames). The causal conv caches carry
+    across chunk boundaries, so ANY blocking is numerically identical
+    (equivalence-tested); larger chunks trade peak activation memory
+    for fewer scan iterations / larger convolutions. Falls back to the
+    largest divisor of k when it doesn't divide evenly.
 
     ``static_hint=True`` enables a fixed-point shortcut for
     repeated-frame videos (4D-STraG conditions on the first frame
@@ -37,8 +44,12 @@ def encode_streamed(model: WanVAE, params, x, normalize: bool = True,
     if k == 0:
         return mu0, lv0
 
-    chunks = x[:, 1:].reshape(b, k, 4, h, w, c)
-    chunks = jnp.moveaxis(chunks, 1, 0)          # [k, B, 4, H, W, C]
+    g = max(1, min(latents_per_step, k))
+    while k % g:
+        g -= 1
+    k = k // g
+    chunks = x[:, 1:].reshape(b, k, 4 * g, h, w, c)
+    chunks = jnp.moveaxis(chunks, 1, 0)          # [k, B, 4g, H, W, C]
 
     def step(cache, xc):
         (mu, lv), cache = model.apply(
@@ -90,15 +101,26 @@ def encode_streamed(model: WanVAE, params, x, normalize: bool = True,
     return mu, lv
 
 
-def decode_streamed(model: WanVAE, params, z, normalize: bool = True):
-    """z: [B, T', h', w', z_dim] -> [B, 1 + r*(T'-1), H, W, 3]."""
+def decode_streamed(model: WanVAE, params, z, normalize: bool = True,
+                    latents_per_step: int = 1):
+    """z: [B, T', h', w', z_dim] -> [B, 1 + r*(T'-1), H, W, 3].
+
+    ``latents_per_step``: latent frames decoded per scan step (see
+    encode_streamed — blocking is numerically free; larger steps cost
+    peak memory, the default 1 is the reference's frame-at-a-time
+    pattern, wan_vae.py:678-703)."""
     b, t = z.shape[:2]
     x0, cache = model.apply(params, z[:, :1], normalize=normalize, cache=None,
                             return_cache=True, method=WanVAE.decode)
     if t == 1:
         return x0
 
-    frames = jnp.moveaxis(z[:, 1:], 1, 0)[:, :, None]  # [T'-1, B, 1, ...]
+    g = max(1, min(latents_per_step, t - 1))
+    while (t - 1) % g:
+        g -= 1
+    frames = jnp.moveaxis(z[:, 1:], 1, 0)          # [T'-1, B, ...]
+    frames = frames.reshape((t - 1) // g, g, *frames.shape[1:])
+    frames = jnp.moveaxis(frames, 2, 1)            # [(T'-1)/g, B, g, ...]
 
     def step(cache, zc):
         x, cache = model.apply(params, zc, normalize=normalize, cache=cache,
@@ -106,7 +128,7 @@ def decode_streamed(model: WanVAE, params, z, normalize: bool = True):
         return cache, x
 
     _, xs = jax.lax.scan(step, cache, frames)
-    # [T'-1, B, r, H, W, 3] -> [B, (T'-1)*r, H, W, 3]
-    r = xs.shape[2]
-    xs = jnp.moveaxis(xs, 0, 1).reshape(b, (t - 1) * r, *xs.shape[3:])
+    # [steps, B, g*r, H, W, 3] -> [B, (T'-1)*r, H, W, 3]
+    xs = jnp.moveaxis(xs, 0, 1)
+    xs = xs.reshape(b, xs.shape[1] * xs.shape[2], *xs.shape[3:])
     return jnp.concatenate([x0, xs], axis=1)

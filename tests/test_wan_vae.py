@@ -141,3 +141,22 @@ def test_static_hint_encode_is_exact():
     ref2 = encode_streamed(model, params, video2)
     fast2 = encode_streamed(model, params, video2, static_hint=True)
     np.testing.assert_array_equal(np.asarray(ref2[0]), np.asarray(fast2[0]))
+
+
+@pytest.mark.parametrize("g", [2, 3, 4])
+def test_streaming_blocked_chunks_match_full(g):
+    """latents_per_step>1 (blocked causal streaming) is numerically
+    identical to the fused pass AND to the frame-at-a-time default —
+    the conv caches carry exactly the chunk-boundary state either way."""
+    model, params, x, _ = _model(t=13)  # k = 3 latent chunks beyond frame 0
+    mu_f, lv_f = model.apply(params, x, method=WanVAE.encode)
+    mu_s, lv_s = encode_streamed(model, params, x, latents_per_step=g)
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_s),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lv_f), np.asarray(lv_s),
+                               rtol=1e-4, atol=1e-5)
+    out_f = model.apply(params, mu_f, method=WanVAE.decode)
+    out_s = decode_streamed(model, params, mu_f, latents_per_step=g)
+    assert out_s.shape == out_f.shape
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                               rtol=1e-4, atol=1e-5)
