@@ -41,6 +41,9 @@ def parse_args():
                         "point projection")
     p.add_argument("--output_dir", default="vism_lora_ckpt")
     p.add_argument("--lora_rank", type=int, default=4)
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="micro-batch gradient accumulation (reference "
+                        "--gradient_accumulation_steps)")
     p.add_argument("--lora_alpha", type=float, default=4.0)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--max_steps", type=int, default=10000)
@@ -110,6 +113,11 @@ def run_training(dit, base_params, vae, vae_params, encode_text,
 
     tcfg = VismTrainConfig(learning_rate=args.learning_rate)
     tx = optax.adamw(args.learning_rate)
+    if getattr(args, "grad_accum_steps", 1) > 1:
+        # reference --gradient_accumulation_steps: mean gradient applied
+        # every k-th micro-step; works for the streamed 14B path too
+        # (the wrap only touches the factor-sized optimizer state)
+        tx = optax.MultiSteps(tx, every_k_schedule=args.grad_accum_steps)
     if getattr(args, "offload_blocks", False):
         # 14B-on-one-chip path: frozen fp8 base streams from pinned host
         # for the forward AND the backward recompute; only the LoRA
