@@ -677,6 +677,20 @@ def bench_two_stage_14b():
     frames, h, w = 49, 368, 512
     lt, lh, lw = (frames - 1) // 4 + 1, h // 8, w // 8
     n_steps = int(os.environ.get("MORE4D_BENCH_14B_E2E_STEPS", "6"))
+    # Budget adaptivity: the relay's per-process graph warmup varies 3-10x
+    # by server phase (dress runs: this leg 450-700 s on a good phase,
+    # >timeout on a bad one).  The parent passes the leg's ABSOLUTE kill
+    # deadline via MORE4D_BENCH_LEG_DEADLINE; 'auto' drops stage 2 (and
+    # then the decode) when the remaining slice can't fit them, so the
+    # must-have stage-1 14B measurement always survives.
+    # MORE4D_BENCH_14B_STAGES=both|stage1 overrides.
+    t_leg0 = time.time()
+    deadline = float(os.environ.get("MORE4D_BENCH_LEG_DEADLINE", "inf"))
+    stages_mode = os.environ.get("MORE4D_BENCH_14B_STAGES", "auto")
+
+    def remaining():
+        return deadline - time.time()
+
     out = {"measured_steps_per_stage": n_steps, "extrapolated_to": 50,
            **relay_health()}
     rng = jax.random.PRNGKey(0)
@@ -687,7 +701,7 @@ def bench_two_stage_14b():
 
     from more4d_tpu.utils.flops import detect_tpu_peak, dit_forward_flops
 
-    def stage(tag, motion, in_dim):
+    def stage(tag, motion, in_dim, measure_decode):
         cfg = dit_14b(motion_guidance=motion, in_dim=in_dim,
                       model_type="i2v", dtype=jnp.bfloat16,
                       param_dtype=jnp.bfloat16)
@@ -730,39 +744,73 @@ def bench_two_stage_14b():
         # FIRST execution in a fresh process costs 70-95 s of server-side
         # warmup regardless of client compile-cache state (measured:
         # 76.9 s then 5.9 s in one run, 95.2 s when only stage 2 ran).
-        # Measuring it once — at stage 2 — is information-equivalent and
-        # keeps this leg from starving the later budget legs.
-        if tag.startswith("stage1"):
-            out[f"{tag}_vae_decode_s"] = None  # = stage2's, same graph
-            out[f"{tag}_decode_note"] = ("measured at stage2_inp: "
-                                         "identical decode graph")
-        else:
+        # Measuring it once per leg is information-equivalent; which stage
+        # measures it (and whether there's room at all) is decided by the
+        # caller's budget logic.
+        if measure_decode():
             from more4d_tpu.models.vae_streaming import decode_streamed
             t0 = time.perf_counter()
             dec = decode_streamed(vae, vp, lat.astype(jnp.bfloat16))
             fence(dec)
             out[f"{tag}_vae_decode_s"] = round(time.perf_counter() - t0, 1)
+        else:
+            out[f"{tag}_vae_decode_s"] = None
         del host
         gc.collect()
 
+    # Whether stage 2 runs is decided AFTER stage 1 (its cost predicts
+    # stage 2's: same park + same-size graph warmup + same step count).
+    # Stage 1's decode is measured only when stage 2 won't run (the two
+    # decode the identical graph).
+    run_stage2 = {"v": stages_mode == "both"}
+
+    def stage1_decode():
+        if stages_mode == "both":
+            run_stage2["v"] = True
+            return False          # measured at stage 2
+        if stages_mode == "stage1":
+            run_stage2["v"] = False
+        else:                     # auto: does a stage-2 repeat fit?
+            stage1_cost = time.time() - t_leg0
+            run_stage2["v"] = remaining() > 1.15 * stage1_cost + 60
+        if run_stage2["v"]:
+            return False          # measured at stage 2
+        return remaining() > 120  # stage-1-only: decode if room
+
     # stage 1: 14B 4D-STraG Control (motion guidance, 48ch conditioning)
-    stage("stage1_control", True, 64)
-    # stage 2: 14B ViSM InP (20ch inpaint conditioning)
-    stage("stage2_inp", False, 36)
-    for tag in ("stage1_control", "stage2_inp"):
+    stage("stage1_control", True, 64, stage1_decode)
+    tags = ["stage1_control"]
+    if run_stage2["v"]:
+        # stage 2: 14B ViSM InP (20ch inpaint conditioning)
+        stage("stage2_inp", False, 36, lambda: remaining() > 110)
+        tags.append("stage2_inp")
+    else:
+        out["stage2_note"] = ("skipped: leg slice too small on this "
+                              "relay phase (MORE4D_BENCH_14B_STAGES="
+                              "both forces it); measured two-stage "
+                              "record: COVERAGE.md")
+    decs = [out[f"{t}_vae_decode_s"] for t in tags]
+    dec_any = next((d for d in decs if d is not None), None)
+    for tag in tags:
         dec = out[f"{tag}_vae_decode_s"]
-        if dec is None:  # slow-relay skip: same graph as stage2's decode
-            dec = out["stage2_inp_vae_decode_s"]
+        if dec is None and dec_any is not None:
+            dec = dec_any  # identical decode graph, measured once
             out[f"{tag}_vae_decode_s"] = dec
         out[f"{tag}_50step_extrap_s"] = round(
-            50 * out[f"{tag}_step_s"] + dec, 1)
-    out["total_1traj_50step_extrap_s"] = round(
-        out["stage1_control_50step_extrap_s"]
-        + out["stage2_inp_50step_extrap_s"], 1)
-    out["method"] = ("MEASURED per-step streamed denoise both stages; "
-                     "50-step totals extrapolated from steady-state "
-                     "median (render/depth excluded: identical to the "
-                     "1.3B leg's measured values)")
+            50 * out[f"{tag}_step_s"] + (dec or 0.0), 1)
+    if dec_any is None:
+        # never compare these against captures that include the ~6-8 s
+        # decode term
+        out["extrap_note"] = ("DENOISE-ONLY extrapolation: no decode fit "
+                              "the leg slice")
+    if len(tags) == 2:
+        out["total_1traj_50step_extrap_s"] = round(
+            out["stage1_control_50step_extrap_s"]
+            + out["stage2_inp_50step_extrap_s"], 1)
+    out["method"] = ("MEASURED per-step streamed denoise; 50-step totals "
+                     "extrapolated from steady-state median (render/depth "
+                     "excluded: identical to the 1.3B leg's measured "
+                     "values)")
     return out
 
 
@@ -901,6 +949,13 @@ def _run_leg_subprocess(mode: str, timeout: int = 1500):
 
     env = dict(os.environ)
     env["MORE4D_BENCH_MODE"] = mode
+    # budget-adaptive legs (two_stage_14b) read this to decide how much
+    # optional work (stage 2, decode) fits their slice.  ABSOLUTE epoch
+    # deadline, not a duration: the parent's kill clock starts at spawn,
+    # while the child only starts measuring after python boot + jax
+    # import + relay connect (10-60 s here) — a duration would overstate
+    # the remaining slice by exactly that much
+    env["MORE4D_BENCH_LEG_DEADLINE"] = str(time.time() + timeout)
     try:
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, capture_output=True, text=True,
@@ -947,18 +1002,21 @@ _LEGS = {
 # never started-and-killed — a killed leg wastes its whole slice.
 _DEFAULT_RUN = [
     ("denoise", "MORE4D_BENCH_DENOISE", 150),
-    # train BEFORE the 14B leg: it costs 50-90 s warm, while the 14B leg
-    # eats 450-700 s regardless of cache state (per-process server-side
-    # graph warmup ~70-90 s/graph + ~140 s host fp8 parking of two 17B
-    # trees), so placed after it the train leg kept getting killed at the
-    # budget tail (BENCH r3 dress runs: "timed out after 205s/268s")
-    ("train_1.3b", "MORE4D_BENCH_TRAIN", 110, 240),
-    # two_stage_14b's stage-1 measures the EXACT config of the old
-    # standalone 14b leg (motion-guided 64ch Control, CFG-doubled,
-    # streamed fp8), so one leg yields both the 14b_measured block and
-    # the flagship-config e2e per-stage record — see the 14b_measured
-    # synthesis in main()
+    # 14B directly after denoise: these two are the VERDICT-minimum
+    # driver capture.  The leg is budget-adaptive (stage 2 and the decode
+    # drop themselves when the slice is short — see bench_two_stage_14b),
+    # so on a slow relay phase it still lands the stage-1 14B block
+    # instead of timing out with nothing (the final 900 s dress run lost
+    # BOTH train and 14B when train ran first and ate its 240 s cap).
+    # Its stage-1 measures the EXACT config of the old standalone 14b
+    # leg (motion-guided 64ch Control, CFG-doubled, streamed fp8), so
+    # one leg yields both the 14b_measured block and the flagship-config
+    # e2e per-stage record — see the 14b_measured synthesis in main()
     ("two_stage_14b", "MORE4D_BENCH_14B_E2E", 250),
+    # train's value_and_grad graph has the worst relay warmup variance
+    # (50-90 s good phase, >580 s bad phase measured) — capped so a bad
+    # phase can't starve the remaining legs
+    ("train_1.3b", "MORE4D_BENCH_TRAIN", 110, 240),
     # 1.3B e2e before the 14B LoRA leg: if the budget runs short the leg
     # dropped should be the one whose number also appears in COVERAGE.md,
     # and the e2e leg resolves the round-2 reproducibility dispute.  The

@@ -159,8 +159,18 @@ def render_trajectories(coords: np.ndarray, colors: np.ndarray,
     t = coords.shape[0]
     center = coords.reshape(-1, 3).mean(axis=0)
     intr = get_intrinsic_matrix(height, width)
-    names = [f"{name}_{i}"
-             for i, (name, _kw) in enumerate(trajectory_types)]
+    # names carry the CANONICAL sweep index (a subset run of trajectory
+    # 3 writes circle_rotating_3, matching the full-sweep filename, not
+    # circle_rotating_0 — which would collide with a different camera
+    # path from another subset run); unknown custom entries fall back to
+    # their position
+    names = []
+    for i, tt in enumerate(trajectory_types):
+        try:
+            idx = TRAJECTORY_TYPES.index(tt)
+        except ValueError:
+            idx = i
+        names.append(f"{tt[0]}_{idx}")
     exts_list = [generate_trajectory(name, center, t, **kw)
                  for name, kw in trajectory_types]
 

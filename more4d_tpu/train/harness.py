@@ -92,9 +92,25 @@ class StraagTrainer:
         if tcfg.grad_accum_steps > 1:
             # mean-gradient accumulation over k micro-steps (reference
             # --gradient_accumulation_steps); wraps the caller's tx
-            # (CAME / two-tier LR) too
+            # (CAME / two-tier LR) too.  The dynamic grad clamp moves
+            # INTO the chain so it clips the accumulated MEAN gradient
+            # once per optimizer step (accelerate clips under
+            # sync_gradients, train_wan.py:1991-2001) instead of each
+            # micro-gradient; clip_in_tx tells make_train_step to skip
+            # its per-micro-step clamp
+            import dataclasses
+
+            from .optim import dynamic_clip_transform
+
             self.tx = optax.MultiSteps(
-                self.tx, every_k_schedule=tcfg.grad_accum_steps)
+                optax.chain(
+                    dynamic_clip_transform(
+                        tcfg.max_grad_norm,
+                        decay_steps=tcfg.grad_clip_decay_steps),
+                    self.tx),
+                every_k_schedule=tcfg.grad_accum_steps)
+            tcfg = dataclasses.replace(tcfg, clip_in_tx=True)
+            self.tcfg = tcfg
         # PRIVATE copies: the step jit donates params/opt/ema buffers, so
         # the trainer must own them exclusively — device_put may alias the
         # caller's arrays when the sharding already matches, and a donated

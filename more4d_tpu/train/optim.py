@@ -13,7 +13,7 @@ Re-implements the reference's training hardening (SURVEY.md §5):
 from __future__ import annotations
 
 import re
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +90,34 @@ def dynamic_clip_norm(grads, step, max_grad_norm: float = 0.05,
     clipped = jax.tree_util.tree_map(
         lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype), grads)
     return clipped, norm, used_max
+
+
+class DynamicClipState(NamedTuple):
+    count: jnp.ndarray  # optimizer steps seen (one per .update() call)
+
+
+def dynamic_clip_transform(max_grad_norm: float = 0.05,
+                           initial_ratio: float = 5.0,
+                           decay_steps: int = 1000):
+    """``dynamic_clip_norm`` as an optax GradientTransformation whose
+    schedule counter advances once per ``.update()`` call. Composed
+    INSIDE ``optax.MultiSteps`` it therefore clips the accumulated MEAN
+    gradient exactly once per optimizer step — the reference's
+    accelerate semantics (clipping under sync_gradients,
+    train_wan.py:1991-2001) — and its decay schedule counts optimizer
+    steps, not micro-steps."""
+    def init_fn(params):
+        del params
+        return DynamicClipState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        clipped, _norm, _used = dynamic_clip_norm(
+            updates, state.count, max_grad_norm, initial_ratio,
+            decay_steps)
+        return clipped, DynamicClipState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def custom_mse_loss(pred, target, weighting=None, threshold: float = 50.0):

@@ -28,7 +28,7 @@ import optax
 from ..diffusion.flow_match import shift_sigmas
 from ..models.wan_dit import WanDiT
 from .optim import (custom_mse_loss, dynamic_clip_norm, ema_update,
-                    motion_sub_loss)
+                    global_grad_norm, motion_sub_loss)
 from .sampler import StratifiedTimestepSampler
 
 
@@ -60,8 +60,14 @@ class StraagTrainConfig:
     # --gradient_accumulation_steps, train_wan.py via accelerate): the
     # optimizer applies the mean gradient every k-th step
     # (optax.MultiSteps wrap in the harness); loss guards and metrics
-    # still run per micro-step
+    # still run per micro-step, while the clip/abnormal schedules and
+    # EMA count OPTIMIZER steps (reference sync_gradients semantics)
     grad_accum_steps: int = 1
+    # when True the dynamic grad clamp lives inside the tx chain
+    # (dynamic_clip_transform composed under MultiSteps, so it clips
+    # the accumulated MEAN gradient once per optimizer step) and the
+    # per-micro-step clamp in make_train_step is skipped
+    clip_in_tx: bool = False
 
 
 def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,
@@ -127,9 +133,17 @@ def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads, gnorm, used_max = dynamic_clip_norm(
-            grads, global_step, cfg.max_grad_norm,
-            decay_steps=cfg.grad_clip_decay_steps)
+        # schedules count OPTIMIZER steps: with gradient accumulation the
+        # harness still passes the micro-step counter here
+        sched_step = global_step // max(cfg.grad_accum_steps, 1)
+        if cfg.clip_in_tx:
+            # accumulation mode: the clamp runs inside the tx chain on
+            # the averaged gradient; report the raw micro-grad norm
+            gnorm = global_grad_norm(grads)
+        else:
+            grads, gnorm, used_max = dynamic_clip_norm(
+                grads, sched_step, cfg.max_grad_norm,
+                decay_steps=cfg.grad_clip_decay_steps)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         if trainable_filter:
             # frozen params are never handed to the reference's optimizer,
@@ -139,7 +153,7 @@ def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,
                 updates, mask_tree)
         new_params = optax.apply_updates(params, updates)
 
-        skip = jnp.logical_and(global_step > cfg.abnormal_loss_start_step,
+        skip = jnp.logical_and(sched_step > cfg.abnormal_loss_start_step,
                                loss > cfg.abnormal_loss_threshold)
         skip = jnp.logical_or(skip, jnp.logical_not(jnp.isfinite(loss)))
         params = jax.tree_util.tree_map(
@@ -150,6 +164,14 @@ def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,
 
         if ema is not None:
             new_ema = ema_update(ema, params, cfg.ema_decay)
+            # gradient accumulation: EMA moves only when the MultiSteps
+            # window closes (params changed) — the reference updates EMA
+            # once per sync step (train_wan.py:956), not per micro-batch.
+            # mini_step resets to 0 on the window-closing update.
+            ms = getattr(new_opt_state, "mini_step", None)
+            if ms is not None:
+                new_ema = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(ms == 0, n, o), new_ema, ema)
             ema = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(skip, old, new), new_ema, ema)
         metrics = {"loss": loss, "grad_norm": gnorm, "skipped": skip}

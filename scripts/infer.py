@@ -342,7 +342,14 @@ def main():
                     raise SystemExit(f"unknown trajectory {tok!r}; "
                                      f"names: {', '.join(names)}")
                 picked.extend(match)
-        traj_types = picked
+        if not picked:
+            raise SystemExit(f"--trajectories {args.trajectories!r} "
+                             f"selects nothing")
+        # de-dup (a name token and its index can overlap) keeping order
+        traj_types = []
+        for t in picked:
+            if t not in traj_types:
+                traj_types.append(t)
 
     from more4d_tpu.infer.two_stage import (render_trajectories,
                                             stage1_generate,
@@ -412,11 +419,10 @@ def main():
     # infer.py --data_path/--prompt_file_name/--max_samples); model
     # loading and compiled graphs amortize across samples
     if args.image_dir:
-        import glob as _glob
-
-        paths = sorted(p for ext in ("png", "jpg", "jpeg", "webp")
-                       for p in _glob.glob(
-                           os.path.join(args.image_dir, f"*.{ext}")))
+        exts = (".png", ".jpg", ".jpeg", ".webp")
+        paths = sorted(os.path.join(args.image_dir, f)
+                       for f in os.listdir(args.image_dir)
+                       if f.lower().endswith(exts))
         if args.max_samples:
             paths = paths[:args.max_samples]
         if not paths:
@@ -427,14 +433,19 @@ def main():
 
             with open(args.prompts_json) as f:
                 prompts = _json.load(f)
-        for i, pth in enumerate(paths):
+        # resolve EVERY prompt up front: a missing one must abort before
+        # hours of processing, not mid-sweep
+        plan = []
+        for pth in paths:
             key = os.path.splitext(os.path.basename(pth))[0]
             prompt = prompts.get(key, args.prompt)
             if prompt is None:
                 raise SystemExit(f"no prompt for {key!r}: add it to "
                                  f"--prompts_json or set --prompt as "
                                  f"the shared fallback")
-            print(f"[{i + 1}/{len(paths)}] {pth}")
+            plan.append((pth, prompt))
+        for i, (pth, prompt) in enumerate(plan):
+            print(f"[{i + 1}/{len(plan)}] {pth}")
             process_sample(
                 pth, prompt,
                 jax.random.fold_in(jax.random.PRNGKey(args.seed), i))

@@ -342,14 +342,16 @@ def test_trainable_filter_and_grad_norm_report(models, tmp_path):
 
 def test_grad_accumulation(models, tmp_path):
     """grad_accum_steps=2 (reference --gradient_accumulation_steps):
-    params are unchanged after the first micro-step and move only when
-    the accumulation window closes."""
+    params AND the EMA are unchanged after the first micro-step; when
+    the window closes, params move and the EMA takes exactly ONE decay
+    step toward the new params (reference sync_gradients semantics —
+    per-micro-step EMA would decay k-times per optimizer step)."""
     dit, dcfg, params, vae, vae_params, enc, enc_params = models
     encode_text, encode_clip, extract_mpm = _tiny_encoders(dcfg)
     mesh = create_mesh(MeshConfig(data=1, fsdp=-1, seq=1))
     tcfg = StraagTrainConfig(learning_rate=1e-3, world_size=1,
-                             abnormal_loss_threshold=1e9, use_ema=False,
-                             grad_accum_steps=2)
+                             abnormal_loss_threshold=1e9, use_ema=True,
+                             ema_decay=0.5, grad_accum_steps=2)
     rcfg = StraagRunConfig(output_dir=str(tmp_path / "ga"), batch_size=1,
                            max_steps=2, checkpointing_steps=100,
                            log_steps=1, seed=0,
@@ -357,7 +359,9 @@ def test_grad_accumulation(models, tmp_path):
     trainer = StraagTrainer(
         dit, params, vae, vae_params, enc, enc_params, encode_text, mesh,
         tcfg, rcfg, encode_clip=encode_clip, extract_mpm=extract_mpm)
+    assert trainer.tcfg.clip_in_tx, "harness must move the clamp into tx"
     before = jax.tree_util.tree_map(np.asarray, trainer.params)
+    ema0 = jax.tree_util.tree_map(np.asarray, trainer.ema)
     batch = trainer.prepare_batch([_sample(0)], ["a scene"])
 
     key = jax.random.PRNGKey(0)
@@ -370,6 +374,10 @@ def test_grad_accumulation(models, tmp_path):
                zip(jax.tree_util.tree_leaves(before),
                    jax.tree_util.tree_leaves(mid)))
     assert same, "params moved inside the accumulation window"
+    ema_same = all(np.array_equal(b, np.asarray(m)) for b, m in
+                   zip(jax.tree_util.tree_leaves(ema0),
+                       jax.tree_util.tree_leaves(trainer.ema)))
+    assert ema_same, "EMA moved inside the accumulation window"
 
     (trainer.params, trainer.opt_state, trainer.ema,
      m2) = trainer.step_fn(trainer.params, trainer.opt_state, trainer.ema,
@@ -379,3 +387,10 @@ def test_grad_accumulation(models, tmp_path):
                 zip(jax.tree_util.tree_leaves(before),
                     jax.tree_util.tree_leaves(after)))
     assert moved > 0.0, "params did not move when the window closed"
+    # exactly one EMA step: ema = d*ema0 + (1-d)*params_new
+    for e0, e1, p1 in zip(jax.tree_util.tree_leaves(ema0),
+                          jax.tree_util.tree_leaves(trainer.ema),
+                          jax.tree_util.tree_leaves(after)):
+        want = 0.5 * e0 + 0.5 * np.asarray(p1, e0.dtype)
+        np.testing.assert_allclose(np.asarray(e1), want,
+                                   rtol=1e-5, atol=1e-6)

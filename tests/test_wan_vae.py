@@ -147,8 +147,11 @@ def test_static_hint_encode_is_exact():
 def test_streaming_blocked_chunks_match_full(g):
     """latents_per_step>1 (blocked causal streaming) is numerically
     identical to the fused pass AND to the frame-at-a-time default —
-    the conv caches carry exactly the chunk-boundary state either way."""
-    model, params, x, _ = _model(t=13)  # k = 3 latent chunks beyond frame 0
+    the conv caches carry exactly the chunk-boundary state either way.
+    t=17 -> k=4: g=2 runs TWO multi-latent chunks (cache handoff
+    BETWEEN blocked chunks), g=3 exercises the non-divisor fallback
+    (->2), g=4 the single-chunk case."""
+    model, params, x, _ = _model(t=17)  # k = 4 latent chunks beyond frame 0
     mu_f, lv_f = model.apply(params, x, method=WanVAE.encode)
     mu_s, lv_s = encode_streamed(model, params, x, latents_per_step=g)
     np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_s),
