@@ -49,6 +49,11 @@ def parse_args():
                    help="micro-batch gradient accumulation: apply the "
                         "mean gradient every k-th step (reference "
                         "--gradient_accumulation_steps)")
+    p.add_argument("--use_ema", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="keep an EMA of the weights (reference "
+                        "--use_ema; --no-use_ema saves the memory)")
+    p.add_argument("--ema_decay", type=float, default=0.9999)
     p.add_argument("--learning_rate", type=float, default=2e-5)
     p.add_argument("--optimizer", default="adamw",
                    choices=["adamw", "came"],
@@ -189,7 +194,9 @@ def main():
                              max_grad_norm=args.max_grad_norm,
                              motion_sub_loss=args.motion_sub_loss,
                              world_size=mesh.shape["data"],
-                             grad_accum_steps=args.grad_accum_steps)
+                             grad_accum_steps=args.grad_accum_steps,
+                             use_ema=args.use_ema,
+                             ema_decay=args.ema_decay)
     rcfg = StraagRunConfig(
         output_dir=args.output_dir, batch_size=args.batch_size,
         max_steps=args.max_steps,
