@@ -211,3 +211,9 @@ class PipelineConfig:
     teacache_skip_start_steps: int = 5
     cfg_skip_ratio: float = 0.0
     riflex_k: Optional[int] = None
+    # blocked causal VAE streaming (models/vae_streaming.py): latent
+    # frames per scan step for encode/decode. 1 = the reference's
+    # frame-at-a-time pattern (lowest peak memory); larger values are
+    # numerically identical and trade memory for fewer, larger
+    # convolution dispatches
+    vae_latents_per_step: int = 1

@@ -72,8 +72,9 @@ class BasePipeline:
         repeated-frame videos (see encode_streamed)."""
         from ..models.vae_streaming import encode_streamed
 
-        mu, _ = encode_streamed(self.vae, vae_params, video,
-                                static_hint=static_hint)
+        mu, _ = encode_streamed(
+            self.vae, vae_params, video, static_hint=static_hint,
+            latents_per_step=self.config.vae_latents_per_step)
         return mu
 
     def decode_latents(self, vae_params, latents, normalize_output=True):
@@ -83,7 +84,9 @@ class BasePipeline:
         Streamed per latent frame (wan_vae.py:678-703)."""
         from ..models.vae_streaming import decode_streamed
 
-        frames = decode_streamed(self.vae, vae_params, latents)
+        frames = decode_streamed(
+            self.vae, vae_params, latents,
+            latents_per_step=self.config.vae_latents_per_step)
         if normalize_output:
             frames = jnp.clip(frames / 2 + 0.5, 0.0, 1.0)
         return frames
