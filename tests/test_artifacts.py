@@ -57,3 +57,28 @@ def test_pointcloud_txt_roundtrip(tmp_path):
     c2, col2 = load_pointcloud_txt(path)
     np.testing.assert_allclose(c2, coords, atol=1e-5)
     np.testing.assert_allclose(col2, colors, atol=1 / 255.0 + 1e-6)
+
+
+def test_profiling_timer_and_trace(tmp_path, capsys):
+    """utils/profiling: the timer decorator syncs and prints wall time
+    (reference timer/timer_record, utils.py:407-466); trace() writes a
+    jax.profiler capture directory."""
+    import jax.numpy as jnp
+
+    from more4d_tpu.utils.profiling import timer, trace
+
+    @timer("unit")
+    def f(x):
+        return jnp.sum(x * 2)
+
+    out = f(jnp.ones((8, 8)))
+    assert float(out) == 128.0
+    assert "[timer] unit:" in capsys.readouterr().out
+
+    d = str(tmp_path / "trace")
+    with trace(d):
+        float(jnp.sum(jnp.ones((4, 4))))
+    import os
+
+    found = [f for _, _, fs in os.walk(d) for f in fs]
+    assert found, "no profiler capture written"
