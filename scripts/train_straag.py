@@ -193,7 +193,8 @@ def main():
     tcfg = StraagTrainConfig(learning_rate=args.learning_rate,
                              max_grad_norm=args.max_grad_norm,
                              motion_sub_loss=args.motion_sub_loss,
-                             world_size=mesh.shape["data"],
+                             world_size=(mesh.shape.get("dcn", 1)
+                                         * mesh.shape["data"]),
                              grad_accum_steps=args.grad_accum_steps,
                              use_ema=args.use_ema,
                              ema_decay=args.ema_decay)

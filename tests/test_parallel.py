@@ -118,3 +118,31 @@ def test_parse_mesh_spec():
     assert (r.data, r.fsdp, r.seq) == (1, 4, 2)
     with pytest.raises(ValueError):
         parse_mesh_spec("tensor=2")
+
+
+def test_dcn_multislice_mesh():
+    """Multi-slice mesh: the leading dcn axis carries data parallelism
+    only — batches shard over (dcn x data), parameters shard over fsdp
+    alone (so fsdp collectives never cross the slow DCN boundary) — and
+    a sharded computation matches the unsharded one."""
+    from more4d_tpu.parallel import data_sharding
+
+    mesh = create_mesh(MeshConfig(dcn=2, data=2, fsdp=2, seq=1))
+    assert dict(mesh.shape) == {"dcn": 2, "data": 2, "fsdp": 2, "seq": 1}
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 16), jnp.float32)
+    xs = jax.device_put(x, data_sharding(mesh, ndim=2))
+    # batch split 4 ways (dcn*data), replicated over fsdp
+    shard_shapes = {s.data.shape for s in xs.addressable_shards}
+    assert shard_shapes == {(2, 16)}, shard_shapes
+
+    w = jnp.asarray(rng.randn(16, 32), jnp.float32)
+    ws = shard_params({"w": w}, mesh, min_size=1)["w"]
+    spec = ws.sharding.spec
+    assert "dcn" not in str(spec), f"params must not shard over dcn: {spec}"
+    assert "fsdp" in str(spec), f"params must shard over fsdp: {spec}"
+
+    ref = np.asarray(jnp.tanh(x @ w).sum())
+    out = jax.jit(lambda a, b: jnp.tanh(a @ b).sum())(xs, ws)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
