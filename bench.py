@@ -659,6 +659,23 @@ def bench_train_14b_lora():
     }
 
 
+def _stage2_decision(stages_mode: str, stage1_cost: float,
+                     remaining_s: float):
+    """Budget plan evaluated right after the 14B leg's stage-1 denoise:
+    returns (run_stage2, measure_stage1_decode). Stage 2 repeats
+    stage 1's cost profile (same park + same-size graph warmup + same
+    step count), so 'auto' runs it only when ~1.15x stage 1 plus margin
+    still fits; the decode is measured at whichever stage runs last,
+    and only when >2 min remain (its first execution costs 70-95 s of
+    relay warmup)."""
+    if stages_mode == "both":
+        return True, False                       # decode at stage 2
+    if stages_mode == "stage1":
+        return False, remaining_s > 120
+    run2 = remaining_s > 1.15 * stage1_cost + 60
+    return run2, (not run2) and remaining_s > 120
+
+
 def bench_two_stage_14b():
     """The reference's actual flagship configuration: BOTH stages at true
     14B (infer.py:1020,1028 pairs 14B Control with 14B InP). Each streamed
@@ -765,17 +782,11 @@ def bench_two_stage_14b():
     run_stage2 = {"v": stages_mode == "both"}
 
     def stage1_decode():
-        if stages_mode == "both":
-            run_stage2["v"] = True
-            return False          # measured at stage 2
-        if stages_mode == "stage1":
-            run_stage2["v"] = False
-        else:                     # auto: does a stage-2 repeat fit?
-            stage1_cost = time.time() - t_leg0
-            run_stage2["v"] = remaining() > 1.15 * stage1_cost + 60
-        if run_stage2["v"]:
-            return False          # measured at stage 2
-        return remaining() > 120  # stage-1-only: decode if room
+        run2, decode1 = _stage2_decision(stages_mode,
+                                         time.time() - t_leg0,
+                                         remaining())
+        run_stage2["v"] = run2
+        return decode1
 
     # stage 1: 14B 4D-STraG Control (motion guidance, 48ch conditioning)
     stage("stage1_control", True, 64, stage1_decode)

@@ -1,0 +1,43 @@
+"""Pure-logic tests for bench.py's driver-budget machinery (the TPU legs
+themselves only run on hardware; what must never regress silently is the
+scheduling logic that decides what a driver capture contains)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import bench
+
+
+def test_stage2_decision_auto():
+    # plenty of slice left after stage 1 -> run stage 2, decode there
+    assert bench._stage2_decision("auto", 150.0, 400.0) == (True, False)
+    # slice nearly spent -> stage-1-only, decode if >2 min remain
+    assert bench._stage2_decision("auto", 200.0, 200.0) == (False, True)
+    assert bench._stage2_decision("auto", 200.0, 100.0) == (False, False)
+    # boundary: needs strictly more than 1.15x + 60
+    assert bench._stage2_decision("auto", 100.0, 175.0) == (False, True)
+    assert bench._stage2_decision("auto", 100.0, 176.0) == (True, False)
+
+
+def test_stage2_decision_forced():
+    assert bench._stage2_decision("both", 1e9, 0.0) == (True, False)
+    assert bench._stage2_decision("stage1", 0.0, 400.0) == (False, True)
+    assert bench._stage2_decision("stage1", 0.0, 60.0) == (False, False)
+
+
+def test_default_run_registry_consistent():
+    """Every default-run key resolves to a registered leg mode, floors
+    are positive, and optional caps are at least the floor (a cap below
+    the floor would start-and-instantly-kill a leg)."""
+    for key, env_gate, floor_s, *cap in bench._DEFAULT_RUN:
+        mode = bench._KEY_TO_MODE.get(key, key)
+        assert mode in bench._LEGS, f"{key} -> {mode} not a leg"
+        assert env_gate.startswith("MORE4D_BENCH_")
+        assert floor_s > 0
+        if cap:
+            assert cap[0] >= floor_s, (key, cap, floor_s)
+    # default-off keys must still be default-run entries
+    keys = {k for k, *_ in bench._DEFAULT_RUN}
+    assert bench._DEFAULT_OFF <= keys
