@@ -68,13 +68,18 @@ def ulysses_attention(attn_fn, q, k, v, kv_lens=None,
 
     spec = P(None, axis, None, None)
     lens_spec = P() if kv_lens is not None else None
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+        rep_kw = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        rep_kw = {"check_rep": False}
 
     if kv_lens is None:
         fn = shard_map(lambda a, b, c: local(a, b, c, None), mesh=mesh,
                        in_specs=(spec, spec, spec), out_specs=spec,
-                       check_rep=False)
+                       **rep_kw)
         return fn(q, k, v)
     fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec, lens_spec),
-                   out_specs=spec, check_rep=False)
+                   out_specs=spec, **rep_kw)
     return fn(q, k, v, kv_lens)
