@@ -1012,7 +1012,10 @@ _LEGS = {
 # floor exceeds the remaining budget is SKIPPED (recorded in legs_skipped),
 # never started-and-killed — a killed leg wastes its whole slice.
 _DEFAULT_RUN = [
-    ("denoise", "MORE4D_BENCH_DENOISE", 150),
+    # capped at 480 s (worst healthy-phase measurement was 380 s): on a
+    # dead or badly degraded relay an uncapped first leg would eat the
+    # ENTIRE budget and starve every later leg
+    ("denoise", "MORE4D_BENCH_DENOISE", 150, 480),
     # 14B directly after denoise: these two are the VERDICT-minimum
     # driver capture.  The leg is budget-adaptive (stage 2 and the decode
     # drop themselves when the slice is short — see bench_two_stage_14b),
