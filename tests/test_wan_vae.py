@@ -143,6 +143,30 @@ def test_static_hint_encode_is_exact():
     np.testing.assert_array_equal(np.asarray(ref2[0]), np.asarray(fast2[0]))
 
 
+def test_static_hint_with_blocked_chunks():
+    """static_hint composes with latents_per_step>1: the fixed-point
+    shortcut stays bitwise exact when chunks carry several latent
+    frames (the guard compares whole 4g-frame chunks)."""
+    import numpy as np
+
+    from more4d_tpu.config import vae_tiny
+    from more4d_tpu.models.vae_streaming import encode_streamed
+    from more4d_tpu.models.wan_vae import WanVAE
+
+    cfg = vae_tiny(dim_mult=(1, 2, 2), temporal_downsample=(False, True))
+    model = WanVAE(cfg)
+    rs = np.random.RandomState(1)
+    frame = jnp.asarray(rs.rand(1, 1, 16, 16, 3) * 2 - 1, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.broadcast_to(frame, (1, 5, 16, 16, 3)))
+    video = jnp.broadcast_to(frame, (1, 33, 16, 16, 3))  # k=8 -> g=2: 4 steps
+    ref = encode_streamed(model, params, video)
+    fast = encode_streamed(model, params, video, static_hint=True,
+                           latents_per_step=2)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(fast[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(fast[1]))
+
+
 @pytest.mark.parametrize("g", [2, 3, 4])
 def test_streaming_blocked_chunks_match_full(g):
     """latents_per_step>1 (blocked causal streaming) is numerically
