@@ -951,6 +951,36 @@ def bench_denoise_81f():
             "riflex_k": 4}
 
 
+def _relay_alive(timeout: float = 120, platform: str = None) -> bool:
+    """Probe the TPU relay in a throwaway subprocess.
+
+    On a dead relay ``jax.devices()`` hangs indefinitely (observed
+    2026-08-17: a 25-minute probe never returned), so the probe must be a
+    separate killable process — an in-process check would hang the whole
+    bench.  A healthy-but-cold probe (python boot + jax import + relay
+    connect + one tiny dispatch) completes in 10-40 s here."""
+    import subprocess
+    import sys
+
+    # platform override goes through jax.config, not JAX_PLATFORMS: this
+    # environment's sitecustomize force-sets the config before user code
+    # runs, so the env var alone is ignored (same workaround as
+    # tests/conftest.py)
+    force = (f"jax.config.update('jax_platforms', '{platform}');"
+             if platform else "")
+    code = ("import jax;" + force + "import jax.numpy as jnp;"
+            "x = jnp.ones((8, 8), jnp.float32);"
+            "print(float(jnp.sum(x * 2.0)))")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], env=dict(os.environ),
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _run_leg_subprocess(mode: str, timeout: int = 1500):
     """Run one leg in a fresh process (each leg needs the whole 16 GiB HBM
     to itself — streaming buffers, batch-11 sweeps and 1.3B params do not
@@ -1115,6 +1145,29 @@ def main():
                           "extra": extra}), flush=True)
 
     emit()  # heartbeat: a parseable line exists from second zero
+
+    # Relay-outage gate.  During the 2026-08-17 outage every jax call hung
+    # forever, so a dead relay would make each leg burn its full cap and
+    # the capture would end with nothing but timeouts.  Probe cheaply
+    # first; if the relay is down, spend the budget POLLING for recovery
+    # (30 s cadence) instead of feeding it to hung legs — legs then run
+    # with whatever budget remains.  A degraded-but-alive relay passes the
+    # probe (tiny dispatch, 120 s allowance) and proceeds normally.
+    if os.environ.get("MORE4D_BENCH_PROBE", "1") == "1" and \
+            not _relay_alive():
+        extra["relay_outage_at_start"] = True
+        emit()
+        while time.time() < deadline - 150:
+            time.sleep(30)
+            if _relay_alive(timeout=90):
+                extra["relay_recovered_after_s"] = round(
+                    time.time() - t_start, 1)
+                emit()
+                break
+        else:
+            extra["relay_down_entire_budget"] = True
+            # fall through: every leg is skipped by its floor check
+
     for key, env_gate, floor_s, *cap in _DEFAULT_RUN:
         default_on = "0" if key in _DEFAULT_OFF else "1"
         if os.environ.get(env_gate, default_on) != "1":

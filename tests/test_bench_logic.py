@@ -27,6 +27,14 @@ def test_stage2_decision_forced():
     assert bench._stage2_decision("stage1", 0.0, 60.0) == (False, False)
 
 
+def test_relay_probe_subprocess():
+    """_relay_alive must return (not hang) and report True on the CPU
+    backend the test tier runs under; a dead relay is simulated by an
+    unsatisfiable timeout."""
+    assert bench._relay_alive(timeout=120, platform="cpu") is True
+    assert bench._relay_alive(timeout=0.001) is False
+
+
 def test_default_run_registry_consistent():
     """Every default-run key resolves to a registered leg mode, floors
     are positive, and optional caps are at least the floor (a cap below
