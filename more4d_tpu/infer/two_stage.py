@@ -231,6 +231,65 @@ def stage2_inpaint(m: TwoStageModels, render: Dict[str, np.ndarray],
                                 rng=rng)[0]
 
 
+def stage2_inpaint_dp(m: TwoStageModels,
+                      renders: Sequence[Dict[str, np.ndarray]],
+                      prompt: str, negative_prompt: str = "",
+                      rng: Optional[jax.Array] = None,
+                      mesh=None) -> np.ndarray:
+    """Trajectory-sweep DATA PARALLELISM: inpaint K rendered trajectories
+    with the batch sharded one-per-chip over ``mesh``'s (dcn, data) axes.
+
+    This is the <60 s north-star deployment shape (BASELINE.md, v5p-8):
+    the reference's default 11-trajectory sweep (infer.py:51,906-924) is
+    embarrassingly parallel, so VAE encode, the 50-step denoise, and the
+    decode each run as ONE sharded program with zero cross-chip traffic —
+    wall time is the serial sweep divided by the mesh's batch extent.
+    K is padded up to a multiple of that extent by repeating the last
+    render (idle-slot work, sliced off on return)."""
+    from ..parallel.mesh import AXIS_DATA, AXIS_DCN, data_sharding
+
+    if mesh is None:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()), (AXIS_DATA,))
+    rng = rng if rng is not None else jax.random.PRNGKey(1)
+    pipe = m.inpaint_pipeline
+    k = len(renders)
+    dp = (mesh.shape.get(AXIS_DCN, 1) * mesh.shape.get(AXIS_DATA, 1))
+    k_pad = -(-k // dp) * dp
+    padded = list(renders) + [renders[-1]] * (k_pad - k)
+
+    def shard(a):
+        return jax.device_put(a, data_sharding(mesh, a.ndim))
+
+    # noise for the REAL k first, pad rows by repetition: the same rng
+    # then yields the same videos as the serial sweep on any mesh size
+    latents = pipe.prepare_latents(rng, k)
+    if k_pad > k:
+        latents = jnp.concatenate(
+            [latents, jnp.repeat(latents[-1:], k_pad - k, axis=0)], axis=0)
+    latents = shard(latents)
+    video_k = shard(jnp.asarray(
+        np.stack([r["frames"] for r in padded]), jnp.float32) * 2.0 - 1.0)
+    mask_k = shard(jnp.asarray(
+        np.stack([r["mask"] for r in padded]), jnp.float32)[..., None])
+    prompt_embeds = shard(jnp.tile(m.encode_text([prompt]), (k_pad, 1, 1)))
+    neg_embeds = shard(jnp.tile(m.encode_text([negative_prompt]),
+                                (k_pad, 1, 1)))
+    clip_fea = None
+    if m.encode_image_clip is not None:
+        clip_fea = shard(jnp.concatenate(
+            [m.encode_image_clip(jnp.asarray(r["frames"][:1]) * 2.0 - 1.0)
+             for r in padded], axis=0))
+    with mesh:
+        y = pipe.prepare_conditions(m.vae_params, latents.shape,
+                                    video_k, mask_k)
+        lat = pipe.denoise(m.dit_inp_params, latents, prompt_embeds,
+                           neg_embeds, y=y, clip_fea=clip_fea)
+        out = pipe.decode_latents(m.vae_params, lat)
+    return np.asarray(out)[:k]
+
+
 def stage2_inpaint_batch(m: TwoStageModels,
                          renders: Sequence[Dict[str, np.ndarray]],
                          prompt: str, negative_prompt: str = "",
@@ -314,7 +373,8 @@ def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
                   trajectory_types=None, use_gs: bool = True,
                   rng: Optional[jax.Array] = None,
                   stage2_batch: int = 1,
-                  stage2_denoise_group: Optional[int] = None):
+                  stage2_denoise_group: Optional[int] = None,
+                  sweep_mesh=None):
     """Single image -> list of inpainted novel-view videos (one per camera
     trajectory), plus the stage-1 point clouds.
 
@@ -325,7 +385,10 @@ def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
     ``stage2_denoise_group``: denoise-loop batch within a stage2_batch
     group (None = whole group) — lets the encode batch wide while the
     denoise stays narrow on memory-tight chips. Larger chips can raise
-    both."""
+    both.
+    ``sweep_mesh``: a device mesh for data-parallel trajectory fan-out —
+    the whole sweep runs as one sharded stage-2 call (stage2_inpaint_dp)
+    and stage2_batch/stage2_denoise_group are ignored."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     r1, r2 = jax.random.split(rng)
     coords, colors = stage1_generate(m, image01, prompt, negative_prompt,
@@ -335,12 +398,18 @@ def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
                                   pipe.config.width, trajectory_types,
                                   use_gs)
     videos = []
-    for c0 in range(0, len(renders), max(stage2_batch, 1)):
-        chunk = renders[c0:c0 + max(stage2_batch, 1)]
-        outs = stage2_inpaint_batch(m, chunk, prompt, negative_prompt,
-                                    rng=jax.random.fold_in(r2, c0),
-                                    denoise_group=stage2_denoise_group)
-        for render, out in zip(chunk, outs):
-            videos.append({"name": render["name"], "video": out})
+    if sweep_mesh is not None:
+        outs = stage2_inpaint_dp(m, renders, prompt, negative_prompt,
+                                 rng=r2, mesh=sweep_mesh)
+        videos = [{"name": r["name"], "video": out}
+                  for r, out in zip(renders, outs)]
+    else:
+        for c0 in range(0, len(renders), max(stage2_batch, 1)):
+            chunk = renders[c0:c0 + max(stage2_batch, 1)]
+            outs = stage2_inpaint_batch(m, chunk, prompt, negative_prompt,
+                                        rng=jax.random.fold_in(r2, c0),
+                                        denoise_group=stage2_denoise_group)
+            for render, out in zip(chunk, outs):
+                videos.append({"name": render["name"], "video": out})
     return {"coords": coords, "colors": colors, "renders": renders,
             "videos": videos}

@@ -96,6 +96,12 @@ def build_parser():
                         "(default: the whole group); lets the encode "
                         "batch wide while the denoise stays narrow on "
                         "memory-tight chips")
+    p.add_argument("--sweep_dp", action="store_true",
+                   help="data-parallel trajectory sweep: shard the whole "
+                        "stage-2 sweep one-trajectory-per-chip over every "
+                        "visible device (the <60 s north-star deployment "
+                        "shape on a v5p-8); overrides --stage2_batch/"
+                        "--stage2_denoise_group")
     # default: the native JAX UniDepth port (no torch in the live path);
     # "unidepth" selects the torch wrapper when that package is installed
     p.add_argument("--depth_provider", default="unidepth_jax",
@@ -353,7 +359,8 @@ def main():
 
     from more4d_tpu.infer.two_stage import (render_trajectories,
                                             stage1_generate,
-                                            stage2_inpaint_batch)
+                                            stage2_inpaint_batch,
+                                            stage2_inpaint_dp)
     from more4d_tpu.utils import save_pointcloud_txt, save_videos_grid
 
     def process_sample(image_path, prompt, sample_rng):
@@ -402,6 +409,15 @@ def main():
         if not args.run_stage2_complete:
             return
 
+        if args.sweep_dp:
+            outs = stage2_inpaint_dp(models, renders, prompt,
+                                     args.negative_prompt, rng=rng2)
+            for render, vid in zip(renders, outs):
+                path = os.path.join(args.output_dir,
+                                    f"{name}_{render['name']}.mp4")
+                save_videos_grid(path, vid[None], fps=args.fps)
+                print("wrote", path)
+            return
         for c0 in range(0, len(renders), max(args.stage2_batch, 1)):
             chunk = renders[c0:c0 + max(args.stage2_batch, 1)]
             outs = stage2_inpaint_batch(

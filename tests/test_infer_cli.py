@@ -149,6 +149,43 @@ def test_infer_cli_stage_gating_resume(tmp_path, ckpt_dir, monkeypatch):
     assert any(f.endswith("static_0.mp4") for f in wrote), wrote
 
 
+def test_infer_cli_sweep_dp(tmp_path, ckpt_dir, monkeypatch):
+    """--sweep_dp: the stage-2 sweep sharded one-trajectory-per-device
+    over the virtual 8-device mesh must emit the same artifact set as the
+    serial sweep path."""
+    from PIL import Image
+
+    img = (np.random.RandomState(2).rand(H, W, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "img.png")
+    out_dir = tmp_path / "out"
+
+    argv = [
+        "infer.py", "--image", str(tmp_path / "img.png"),
+        "--prompt", "a tiny smoke test",
+        "--control_ckpt", str(ckpt_dir / "control.pth"),
+        "--inp_ckpt", str(ckpt_dir / "inp.pth"),
+        "--vae_ckpt", str(ckpt_dir / "vae.pth"),
+        "--decoder_adaptor", str(ckpt_dir / "dec.bin"),
+        "--output_dir", str(out_dir),
+        "--model_size", "tiny", "--adaptor_ch", "64",
+        "--allow_dummy_text",
+        "--height", str(H), "--width", str(W),
+        "--num_frames", str(FRAMES), "--num_inference_steps", "2",
+        "--depth_provider", "constant",
+        "--trajectories", "static,1", "--sweep_dp",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+
+    import importlib
+
+    infer_cli = importlib.import_module("infer")
+    infer_cli.main()
+
+    wrote = sorted(os.listdir(out_dir))
+    assert sum(f.endswith(".mp4") and "_render" not in f
+               and "_mask" not in f for f in wrote) == 2, wrote
+
+
 def test_infer_cli_batch_mode(tmp_path, ckpt_dir, monkeypatch):
     """--image_dir sweeps a directory with a --prompts_json map and a
     --prompt fallback (the reference's dataset loop,

@@ -126,3 +126,12 @@ def test_two_stage_end_to_end():
                                    denoise_group=1)
     np.testing.assert_allclose(np.asarray(whole), np.asarray(grouped),
                                atol=2e-5)
+
+    # data-parallel trajectory sweep (stage2_inpaint_dp): one trajectory
+    # per device over the virtual 8-device mesh, k=2 padded to 8 — must
+    # reproduce the serial sweep exactly (same rng -> same noise rows)
+    from more4d_tpu.infer.two_stage import stage2_inpaint_dp
+    dp = stage2_inpaint_dp(det, out["renders"], "a cat",
+                           rng=jax.random.PRNGKey(9))
+    assert dp.shape == np.asarray(whole).shape
+    np.testing.assert_allclose(dp, np.asarray(whole), atol=2e-4)
