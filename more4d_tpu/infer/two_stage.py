@@ -245,7 +245,14 @@ def stage2_inpaint_dp(m: TwoStageModels,
     decode each run as ONE sharded program with zero cross-chip traffic —
     wall time is the serial sweep divided by the mesh's batch extent.
     K is padded up to a multiple of that extent by repeating the last
-    render (idle-slot work, sliced off on return)."""
+    render (idle-slot work, sliced off on return).
+
+    Zero-communication is enforced: any globally-installed Ulysses
+    sequence-parallel mesh (``parallel.set_mesh``, e.g. from a stage-1
+    ``--sp`` run) is cleared for the duration — otherwise every
+    self-attention would shard_map over the stale seq axis, replicating
+    the whole CFG-doubled trajectory batch onto every chip."""
+    from ..parallel import get_mesh, set_mesh
     from ..parallel.mesh import AXIS_DATA, AXIS_DCN, data_sharding
 
     if mesh is None:
@@ -278,15 +285,28 @@ def stage2_inpaint_dp(m: TwoStageModels,
                                 (k_pad, 1, 1)))
     clip_fea = None
     if m.encode_image_clip is not None:
-        clip_fea = shard(jnp.concatenate(
+        # encode only the k REAL renders; pad rows repeat the last
+        # embedding (each encode is a separate serial dispatch — sec/call
+        # on the relay backend — so duplicates are pure waste)
+        clip_fea = jnp.concatenate(
             [m.encode_image_clip(jnp.asarray(r["frames"][:1]) * 2.0 - 1.0)
-             for r in padded], axis=0))
-    with mesh:
-        y = pipe.prepare_conditions(m.vae_params, latents.shape,
-                                    video_k, mask_k)
-        lat = pipe.denoise(m.dit_inp_params, latents, prompt_embeds,
-                           neg_embeds, y=y, clip_fea=clip_fea)
-        out = pipe.decode_latents(m.vae_params, lat)
+             for r in renders], axis=0)
+        if k_pad > k:
+            clip_fea = jnp.concatenate(
+                [clip_fea, jnp.repeat(clip_fea[-1:], k_pad - k, axis=0)],
+                axis=0)
+        clip_fea = shard(clip_fea)
+    prev_mesh = get_mesh()
+    set_mesh(None)
+    try:
+        with mesh:
+            y = pipe.prepare_conditions(m.vae_params, latents.shape,
+                                        video_k, mask_k)
+            lat = pipe.denoise(m.dit_inp_params, latents, prompt_embeds,
+                               neg_embeds, y=y, clip_fea=clip_fea)
+            out = pipe.decode_latents(m.vae_params, lat)
+    finally:
+        set_mesh(prev_mesh)
     return np.asarray(out)[:k]
 
 
@@ -399,8 +419,12 @@ def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
                                   use_gs)
     videos = []
     if sweep_mesh is not None:
+        # fold_in(r2, 0) = the serial branch's first (and, at
+        # stage2_batch >= k, only) chunk rng — same seed, same videos
+        # whichever branch runs
         outs = stage2_inpaint_dp(m, renders, prompt, negative_prompt,
-                                 rng=r2, mesh=sweep_mesh)
+                                 rng=jax.random.fold_in(r2, 0),
+                                 mesh=sweep_mesh)
         videos = [{"name": r["name"], "video": out}
                   for r, out in zip(renders, outs)]
     else:

@@ -135,3 +135,38 @@ def test_two_stage_end_to_end():
                            rng=jax.random.PRNGKey(9))
     assert dp.shape == np.asarray(whole).shape
     np.testing.assert_allclose(dp, np.asarray(whole), atol=2e-4)
+
+    # a stale globally-installed Ulysses seq mesh (e.g. left by a stage-1
+    # --sp run) must be cleared for the sweep's duration — same result,
+    # zero cross-chip attention — and restored afterwards
+    from more4d_tpu.parallel import (MeshConfig, create_mesh, get_mesh,
+                                     set_mesh)
+    stale = create_mesh(MeshConfig(data=1, fsdp=1, seq=2),
+                        jax.devices()[:2])
+    set_mesh(stale)
+    try:
+        dp_stale = stage2_inpaint_dp(det, out["renders"], "a cat",
+                                     rng=jax.random.PRNGKey(9))
+        assert get_mesh() is stale  # restored after the sweep
+    finally:
+        set_mesh(None)
+    np.testing.assert_allclose(dp_stale, dp, atol=1e-5)
+
+    # run_two_stage(sweep_mesh=...) == run_two_stage(stage2_batch=k):
+    # the DP branch folds the same chunk rng as the serial whole-batch
+    # path, so toggling the branch cannot change the videos
+    serial = run_two_stage(det, image, "a cat",
+                           trajectory_types=[("static", {}),
+                                             ("circle_rotating", {})],
+                           use_gs=True, stage2_batch=2)
+    from jax.sharding import Mesh
+    swept = run_two_stage(det, image, "a cat",
+                          trajectory_types=[("static", {}),
+                                            ("circle_rotating", {})],
+                          use_gs=True,
+                          sweep_mesh=Mesh(np.asarray(jax.devices()),
+                                          ("data",)))
+    assert [v["name"] for v in swept["videos"]] == \
+           [v["name"] for v in serial["videos"]]
+    for vs, vw in zip(serial["videos"], swept["videos"]):
+        np.testing.assert_allclose(vw["video"], vs["video"], atol=2e-4)
