@@ -144,11 +144,24 @@ def test_two_stage_end_to_end():
     stale = create_mesh(MeshConfig(data=1, fsdp=1, seq=2),
                         jax.devices()[:2])
     set_mesh(stale)
+    import more4d_tpu.parallel.ulysses as _ulysses
+
+    def _must_not_route(*a, **k):
+        raise AssertionError("ulysses_attention invoked inside the "
+                             "pure-DP sweep — stale seq mesh not cleared")
+
+    real_ulysses = _ulysses.ulysses_attention
+    _ulysses.ulysses_attention = _must_not_route
+    # the earlier dp call traced these shapes with no mesh installed;
+    # force a retrace so the seq_parallel_size() branch is re-evaluated
+    # under the stale mesh (jit cache keys don't include the global mesh)
+    jax.clear_caches()
     try:
         dp_stale = stage2_inpaint_dp(det, out["renders"], "a cat",
                                      rng=jax.random.PRNGKey(9))
         assert get_mesh() is stale  # restored after the sweep
     finally:
+        _ulysses.ulysses_attention = real_ulysses
         set_mesh(None)
     np.testing.assert_allclose(dp_stale, dp, atol=1e-5)
 
