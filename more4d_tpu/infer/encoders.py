@@ -31,8 +31,22 @@ class ConditioningEncoders:
     extract_mpm: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
 
 
+def _cast_float_leaves(tree, weight_dtype):
+    """The reference's .to(weight_dtype) for a param pytree: cast every
+    floating leaf (infer.py:554,572,589-596 casts T5/CLIP/VAE/DiT alike).
+    None weight_dtype leaves the tree untouched."""
+    import jax
+
+    if weight_dtype is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(weight_dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a, tree)
+
+
 def build_text_encoder(t5_ckpt: str, tokenizer_path: str,
-                       jit: bool = True):
+                       jit: bool = True, weight_dtype=None):
     """tokenizer + umT5 -> encode_text(prompts)->[B, text_len, text_dim]."""
     import jax
     import torch
@@ -43,8 +57,9 @@ def build_text_encoder(t5_ckpt: str, tokenizer_path: str,
 
     cfg = T5Config()
     t5 = WanT5Encoder(cfg)
-    params = convert_t5_state_dict(
-        torch.load(t5_ckpt, map_location="cpu", weights_only=True), cfg)
+    params = _cast_float_leaves(convert_t5_state_dict(
+        torch.load(t5_ckpt, map_location="cpu", weights_only=True), cfg),
+        weight_dtype)
     tokenizer = AutoTokenizer.from_pretrained(tokenizer_path)
     apply = t5.apply
     if jit:
@@ -61,7 +76,8 @@ def build_text_encoder(t5_ckpt: str, tokenizer_path: str,
     return encode_text
 
 
-def build_clip_encoder(clip_ckpt: str, jit: bool = True):
+def build_clip_encoder(clip_ckpt: str, jit: bool = True,
+                       weight_dtype=None):
     """CLIP ViT-H vision tower -> encode_clip(images[-1,1])->[B,257,1280]."""
     import jax
     import torch
@@ -72,8 +88,9 @@ def build_clip_encoder(clip_ckpt: str, jit: bool = True):
 
     cfg = CLIPVisionConfig()
     tower = ClipVisionTower(cfg)
-    params = convert_clip_vision_state_dict(
-        torch.load(clip_ckpt, map_location="cpu", weights_only=True), cfg)
+    params = _cast_float_leaves(convert_clip_vision_state_dict(
+        torch.load(clip_ckpt, map_location="cpu", weights_only=True), cfg),
+        weight_dtype)
     apply = tower.apply
     if jit:
         apply = jax.jit(apply)
@@ -84,7 +101,8 @@ def build_clip_encoder(clip_ckpt: str, jit: bool = True):
     return encode_clip
 
 
-def build_mpm_extractor(omnimae_ckpt: str, jit: bool = True):
+def build_mpm_extractor(omnimae_ckpt: str, jit: bool = True,
+                        weight_dtype=None):
     """OmniMAE ViT-B -> extract_mpm(images01)->[B, 196, 768] patch tokens."""
     import jax
     import torch
@@ -93,8 +111,9 @@ def build_mpm_extractor(omnimae_ckpt: str, jit: bool = True):
                                   extract_mpm_features)
 
     model = OmniMAEViT()
-    params = convert_omnimae_state_dict(
-        torch.load(omnimae_ckpt, map_location="cpu", weights_only=True))
+    params = _cast_float_leaves(convert_omnimae_state_dict(
+        torch.load(omnimae_ckpt, map_location="cpu", weights_only=True)),
+        weight_dtype)
 
     def _raw(images01):
         tokens, _ = extract_mpm_features(model, params, images01)
@@ -109,14 +128,16 @@ def build_encoders(t5_ckpt: Optional[str] = None,
                    omnimae_ckpt: Optional[str] = None,
                    text_dim: int = 4096, text_len: int = 512,
                    jit: bool = True,
-                   allow_dummy_text: bool = False) -> ConditioningEncoders:
+                   allow_dummy_text: bool = False,
+                   weight_dtype=None) -> ConditioningEncoders:
     """Assemble the bundle from checkpoint paths; missing towers yield None.
 
     A missing t5_ckpt is a hard error unless ``allow_dummy_text`` — silently
     training/inferring with zero text embeddings is a footgun (the model
     sees the unconditional context for every prompt)."""
     if t5_ckpt:
-        encode_text = build_text_encoder(t5_ckpt, tokenizer_path, jit=jit)
+        encode_text = build_text_encoder(t5_ckpt, tokenizer_path, jit=jit,
+                                         weight_dtype=weight_dtype)
     else:
         if not allow_dummy_text:
             raise ValueError(
@@ -129,9 +150,11 @@ def build_encoders(t5_ckpt: Optional[str] = None,
             return jnp.zeros((len(prompts), text_len, text_dim),
                              jnp.float32)
 
-    encode_clip = build_clip_encoder(clip_ckpt, jit=jit) \
+    encode_clip = build_clip_encoder(clip_ckpt, jit=jit,
+                                     weight_dtype=weight_dtype) \
         if clip_ckpt else None
-    extract_mpm = build_mpm_extractor(omnimae_ckpt, jit=jit) \
+    extract_mpm = build_mpm_extractor(omnimae_ckpt, jit=jit,
+                                      weight_dtype=weight_dtype) \
         if omnimae_ckpt else None
     return ConditioningEncoders(encode_text=encode_text,
                                 encode_clip=encode_clip,

@@ -77,6 +77,12 @@ def build_parser():
     p.add_argument("--teacache_threshold", type=float, default=0.10)
     p.add_argument("--cfg_skip_ratio", type=float, default=0.0)
     p.add_argument("--riflex_k", type=int, default=None)
+    # reference --mixed_precision (infer.py:1079, default bf16 in
+    # infer.sh:18): bf16 casts DiT + VAE compute AND weights like the
+    # reference's .to(weight_dtype) (infer.py:554,572) — on TPU this also
+    # halves HBM and doubles MXU throughput; fp32 keeps full precision
+    p.add_argument("--mixed_precision", default="bf16",
+                   choices=["bf16", "fp32"])
     p.add_argument("--fp8_weights", action="store_true",
                    help="store DiT weights as float8_e4m3 in HBM "
                         "(fp8_optimization.py:19 equivalent; dequant fuses "
@@ -186,10 +192,13 @@ def main():
 
     # ---- models
     from more4d_tpu.config import dit_tiny
+    wd = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
     make_dit = {"14b": dit_14b, "1.3b": dit_1_3b,
                 "tiny": dit_tiny}[args.model_size]
-    cfg4 = make_dit(motion_guidance=True, in_dim=64, model_type="i2v")
-    cfg_inp = make_dit(motion_guidance=False, in_dim=36, model_type="i2v")
+    cfg4 = make_dit(motion_guidance=True, in_dim=64, model_type="i2v",
+                    dtype=wd, param_dtype=wd)
+    cfg_inp = make_dit(motion_guidance=False, in_dim=36, model_type="i2v",
+                       dtype=wd, param_dtype=wd)
     dit4, dit_inp = WanDiT(cfg4), WanDiT(cfg_inp)
     if args.model_size == "tiny":
         # smoke-test scale: tiny channels, same ratios/z_dim as the real
@@ -198,9 +207,10 @@ def main():
         # transitions, giving the same 4x temporal / 8x spatial ratios
         vae_cfg = VAEConfig(dim=8, z_dim=16, dim_mult=(1, 1, 2, 2),
                             num_res_blocks=1,
-                            temporal_downsample=(False, True, True))
+                            temporal_downsample=(False, True, True),
+                            dtype=wd, param_dtype=wd)
     else:
-        vae_cfg = VAEConfig()
+        vae_cfg = VAEConfig(dtype=wd, param_dtype=wd)
     vae = WanVAE(vae_cfg)
 
     if args.only_render:
@@ -222,6 +232,20 @@ def main():
         p_inp = apply_lora(p_inp, lora, multiplier=args.lora_weight)
     vae_params = load_wan_vae(args.vae_ckpt, vae_cfg)
 
+    # the reference's .to(weight_dtype) (infer.py:554,572): cast the
+    # STORED weights too — on a 16 GiB chip this halves DiT+VAE HBM and
+    # feeds the MXU bf16 directly instead of casting fp32 reads per-op
+    def cast_params(tree):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(wd)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, tree)
+
+    if wd != jnp.float32:
+        p4 = cast_params(p4) if p4 is not None else None
+        p_inp = cast_params(p_inp) if p_inp is not None else None
+        vae_params = cast_params(vae_params)
+
     import torch
 
     from more4d_tpu.infer.encoders import build_encoders
@@ -230,7 +254,8 @@ def main():
         t5_ckpt=args.t5_ckpt, tokenizer_path=args.tokenizer,
         clip_ckpt=args.clip_ckpt, omnimae_ckpt=args.omnimae_ckpt,
         text_dim=cfg4.text_dim, text_len=cfg4.text_len,
-        allow_dummy_text=args.allow_dummy_text)
+        allow_dummy_text=args.allow_dummy_text,
+        weight_dtype=None if wd == jnp.float32 else wd)
 
     dec = VAEDecoderAdaptor(ch=args.adaptor_ch)
     dec_params = convert_adaptor_state_dict(

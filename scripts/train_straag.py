@@ -71,6 +71,13 @@ def parse_args():
     p.add_argument("--allow_dummy_text", action="store_true",
                    help="permit training without --t5_ckpt (zero text "
                         "embeddings; smoke runs only)")
+    # reference: frozen models load at accelerate's mixed_precision dtype
+    # (train_wan.py:796-816 under weight_dtype, train_wan.sh bf16); the
+    # trainable DiT keeps fp32 master params with bf16 compute either way
+    p.add_argument("--frozen_dtype", default="bf16",
+                   choices=["bf16", "fp32"],
+                   help="storage dtype for the FROZEN towers "
+                        "(VAE/T5/CLIP/OmniMAE)")
     p.add_argument("--report_model_info", action="store_true",
                    help="log per-parameter grad norms "
                         "(train_wan.py:2003-2012)")
@@ -171,13 +178,18 @@ def main():
     make_dit = dit_14b if args.model_size == "14b" else dit_1_3b
     cfg = make_dit(motion_guidance=True, in_dim=64, model_type="i2v",
                    remat=True)
+    import jax.numpy as jnp
+
+    fdt = jnp.bfloat16 if args.frozen_dtype == "bf16" else None
     dit = WanDiT(cfg)
-    vae = WanVAE(VAEConfig())
+    vae = WanVAE(VAEConfig(dtype=fdt or jnp.float32))
 
     import torch
 
+    from more4d_tpu.infer.encoders import _cast_float_leaves
+
     params = load_wan_dit(args.pretrained_ckpt, cfg)
-    vae_params = load_wan_vae(args.vae_ckpt)
+    vae_params = _cast_float_leaves(load_wan_vae(args.vae_ckpt), fdt)
     enc = VAEEncoderAdaptor()
     enc_params = convert_adaptor_state_dict(
         torch.load(args.encoder_adaptor, map_location="cpu",
@@ -187,7 +199,7 @@ def main():
         t5_ckpt=args.t5_ckpt, tokenizer_path=args.tokenizer,
         clip_ckpt=args.clip_ckpt, omnimae_ckpt=args.omnimae_ckpt,
         text_dim=cfg.text_dim, text_len=cfg.text_len,
-        allow_dummy_text=args.allow_dummy_text)
+        allow_dummy_text=args.allow_dummy_text, weight_dtype=fdt)
 
     mesh = create_mesh(parse_mesh_spec(args.mesh))
     tcfg = StraagTrainConfig(learning_rate=args.learning_rate,

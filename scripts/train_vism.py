@@ -34,6 +34,11 @@ def parse_args():
     p.add_argument("--allow_dummy_text", action="store_true",
                    help="permit training without --t5_ckpt (zero text "
                         "embeddings; smoke runs only)")
+    p.add_argument("--frozen_dtype", default="bf16",
+                   choices=["bf16", "fp32"],
+                   help="storage dtype for the FROZEN towers (VAE/T5/CLIP) "
+                        "- reference loads them at weight_dtype bf16 "
+                        "(4D_ViSM_training/train.py mixed_precision)")
     p.add_argument("--tokenizer", default="google/umt5-xxl")
     p.add_argument("--clip_ckpt", default=None)
     p.add_argument("--use_3dgs", action="store_true",
@@ -192,14 +197,20 @@ def main():
     make_dit = dit_14b if args.model_size == "14b" else dit_1_3b
     cfg = make_dit(motion_guidance=False, in_dim=36, model_type="i2v",
                    remat=True)
+    import jax.numpy as jnp
+
+    from more4d_tpu.infer.encoders import _cast_float_leaves
+
+    fdt = jnp.bfloat16 if args.frozen_dtype == "bf16" else None
     dit = WanDiT(cfg)
-    vae = WanVAE(VAEConfig())
+    vae = WanVAE(VAEConfig(dtype=fdt or jnp.float32))
     base_params = load_wan_dit(args.pretrained_ckpt, cfg)
-    vae_params = load_wan_vae(args.vae_ckpt)
+    vae_params = _cast_float_leaves(load_wan_vae(args.vae_ckpt), fdt)
     encoders = build_encoders(
         t5_ckpt=args.t5_ckpt, tokenizer_path=args.tokenizer,
         clip_ckpt=args.clip_ckpt, text_dim=cfg.text_dim,
-        text_len=cfg.text_len, allow_dummy_text=args.allow_dummy_text)
+        text_len=cfg.text_len, allow_dummy_text=args.allow_dummy_text,
+        weight_dtype=fdt)
 
     videos = sorted(glob.glob(os.path.join(args.data_dir, "videos",
                                            "*.mp4")))

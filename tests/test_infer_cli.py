@@ -128,6 +128,8 @@ def test_infer_cli_stage_gating_resume(tmp_path, ckpt_dir, monkeypatch):
         "--height", str(H), "--width", str(W),
         "--num_frames", str(FRAMES), "--num_inference_steps", "2",
         "--depth_provider", "constant", "--trajectories", "0",
+        # fp32 path; the other CLI tests drive the bf16 default
+        "--mixed_precision", "fp32",
     ]
     import importlib
 
