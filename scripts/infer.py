@@ -63,6 +63,10 @@ def build_parser():
     p.add_argument("--decoder_adaptor", required=True)
     p.add_argument("--vism_lora", default=None)
     p.add_argument("--lora_weight", type=float, default=0.55)
+    # stage-1 LoRA merged into the Control DiT (reference --lora_path,
+    # infer.py:622-623,1024,1064; same kohya format as the ViSM LoRA)
+    p.add_argument("--stage1_lora", default=None)
+    p.add_argument("--stage1_lora_weight", type=float, default=0.55)
     p.add_argument("--output_dir", default="out")
     p.add_argument("--height", type=int, default=368)
     p.add_argument("--width", type=int, default=512)
@@ -230,6 +234,12 @@ def main():
 
         lora = load_vism_lora(args.vism_lora, cfg_inp)
         p_inp = apply_lora(p_inp, lora, multiplier=args.lora_weight)
+    if args.stage1_lora and p4 is not None:
+        # stage-1 LoRA into the Control DiT (infer.py:622-623)
+        from more4d_tpu.convert.lora_torch import load_vism_lora
+
+        lora1 = load_vism_lora(args.stage1_lora, cfg4)
+        p4 = apply_lora(p4, lora1, multiplier=args.stage1_lora_weight)
     vae_params = load_wan_vae(args.vae_ckpt, vae_cfg)
 
     # the reference's .to(weight_dtype) (infer.py:554,572): cast the
@@ -434,6 +444,16 @@ def main():
         if not args.run_stage2_complete:
             return
 
+        if args.sweep_dp and jax.device_count() == 1 and len(renders) > 2:
+            # one chip: the "DP" sweep would degenerate to one batch-k
+            # program — the exact full-res-decode shape that OOMs a
+            # 16 GiB chip at k>=2 (and near-OOM allocator states also
+            # cause 2x run-to-run slowdowns); serial is also faster here
+            print("WARNING: --sweep_dp on a single device would run the "
+                  f"whole {len(renders)}-trajectory sweep as one batch; "
+                  "falling back to the serial sweep (use --stage2_batch "
+                  "to batch explicitly)")
+            args.sweep_dp = False
         if args.sweep_dp:
             outs = stage2_inpaint_dp(models, renders, prompt,
                                      args.negative_prompt, rng=rng2)

@@ -59,6 +59,26 @@ def ckpt_dir(tmp_path_factory):
                                      "ref_traj_cli")
     dec = traj_mod.VAEDecoderadaptor(ch=64, dropout=0.0)
     torch.save(dec.state_dict(), d / "dec.bin")
+
+    # kohya-format LoRAs for both DiTs (reference --lora_path /
+    # --stage2_lora_path; merge math golden-tested in test_lora_golden.py)
+    rs = np.random.RandomState(7)
+
+    def save_lora(path):
+        sd = {}
+        for b in range(tcfg.num_layers):
+            for mod, (o, i) in {"self_attn_q": (tcfg.dim, tcfg.dim),
+                                "ffn_0": (tcfg.ffn_dim, tcfg.dim)}.items():
+                base = f"lora_unet_blocks_{b}_{mod}"
+                sd[base + ".lora_down.weight"] = torch.tensor(
+                    rs.randn(2, i).astype(np.float32) * 0.05)
+                sd[base + ".lora_up.weight"] = torch.tensor(
+                    rs.randn(o, 2).astype(np.float32) * 0.05)
+                sd[base + ".alpha"] = torch.tensor(2.0)
+        torch.save(sd, path)
+
+    save_lora(d / "stage1_lora.pth")
+    save_lora(d / "vism_lora.pth")
     return d
 
 
@@ -86,6 +106,10 @@ def test_infer_cli_end_to_end(tmp_path, ckpt_dir, monkeypatch):
         # index/name tokens); odd count also exercises the
         # stage2_batch=2 chunking remainder
         "--trajectories", "static,1,3",
+        # LoRA merges into both stages (reference --lora_path /
+        # --stage2_lora_path, infer.py:622,778)
+        "--stage1_lora", str(ckpt_dir / "stage1_lora.pth"),
+        "--vism_lora", str(ckpt_dir / "vism_lora.pth"),
     ]
     monkeypatch.setattr(sys, "argv", argv)
 
