@@ -59,6 +59,8 @@ class StraagRunConfig:
     text_dropout: float = 0.1          # wan_dataset.py:830
     seed: int = 42
     resume: bool = False
+    # reference --checkpoints_total_limit (train_wan.py:2028-2052 rotation)
+    checkpoints_total_limit: int = 2
 
 
 class StraagTrainer:
@@ -208,7 +210,8 @@ class StraagTrainer:
         rc = self.run_cfg
         os.makedirs(rc.output_dir, exist_ok=True)
         metrics = MetricsLogger(rc.output_dir)
-        mgr = CheckpointManager(rc.output_dir)
+        mgr = CheckpointManager(rc.output_dir,
+                                max_to_keep=rc.checkpoints_total_limit)
 
         if rc.resume and mgr.latest_step() is not None:
             out = mgr.restore(params_like=self.params,

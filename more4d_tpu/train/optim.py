@@ -20,12 +20,46 @@ import jax.numpy as jnp
 import optax
 
 
-def with_low_lr(make_tx, lr: float, low_lr_names: str,
+def scale_lr(lr, ratio: float):
+    """lr * ratio for a float OR an optax schedule callable."""
+    if callable(lr):
+        return lambda step: lr(step) * ratio
+    return lr * ratio
+
+
+def make_lr_schedule(lr: float, name: str = "constant",
+                     warmup_steps: int = 0, total_steps: int = 10000):
+    """The reference's diffusers get_scheduler analog
+    (train_wan.py:306-315 --lr_scheduler/--lr_warmup_steps): returns a
+    float (plain constant) or an optax schedule usable as any optimizer's
+    learning_rate.  Supported: constant / constant_with_warmup / linear /
+    cosine (the reference's useful subset; its default is constant)."""
+    if name in ("constant", "constant_with_warmup"):
+        if warmup_steps <= 0:
+            return lr
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps),
+             optax.constant_schedule(lr)], [warmup_steps])
+    decay = max(total_steps - warmup_steps, 1)
+    if name == "linear":
+        main = optax.linear_schedule(lr, 0.0, decay)
+    elif name == "cosine":
+        main = optax.cosine_decay_schedule(lr, decay)
+    else:
+        raise ValueError(f"unknown lr_scheduler '{name}'")
+    if warmup_steps <= 0:
+        return main
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, lr, warmup_steps), main],
+        [warmup_steps])
+
+
+def with_low_lr(make_tx, lr, low_lr_names: str,
                 low_lr_ratio: float, params):
     """Two-tier LR via optax.multi_transform: params whose path matches
     ``low_lr_names`` (regex) train at lr * low_lr_ratio, the rest at lr
     (train_wan.py:1091-1142). Works for any lr -> transform factory
-    (AdamW, CAME, ...)."""
+    (AdamW, CAME, ...) and for schedule-valued lr."""
     assert params is not None
     pattern = re.compile(low_lr_names)
 
@@ -38,17 +72,18 @@ def with_low_lr(make_tx, lr: float, low_lr_names: str,
         return walk(tree)
 
     return optax.multi_transform(
-        {"high": make_tx(lr), "low": make_tx(lr * low_lr_ratio)},
+        {"high": make_tx(lr), "low": make_tx(scale_lr(lr, low_lr_ratio))},
         label(params))
 
 
-def make_adamw(lr: float, low_lr_names: Optional[str] = None,
+def make_adamw(lr, low_lr_names: Optional[str] = None,
                low_lr_ratio: float = 0.1, betas=(0.9, 0.999),
                weight_decay: float = 3e-2, eps: float = 1e-10,
                params=None):
     """AdamW with an optional low-LR parameter group selected by path regex
     (the reference trains e.g. newly-initialised modules at full LR and the
-    backbone at a reduced LR; train_wan.py:1091-1142)."""
+    backbone at a reduced LR; train_wan.py:1091-1142).  ``lr`` may be a
+    float or an optax schedule (make_lr_schedule)."""
     mk = lambda lr_: optax.adamw(lr_, b1=betas[0], b2=betas[1], eps=eps,
                                  weight_decay=weight_decay)
     if low_lr_names is None:
@@ -236,6 +271,9 @@ def came(learning_rate: float, betas=(0.9, 0.999, 0.9999),
     def update(grads, state, params=None):
         assert params is not None, "came() needs params (weight decay)"
         count = state["count"] + 1
+        # schedule-valued learning_rate (make_lr_schedule), like optax
+        lr_t = (learning_rate(state["count"]) if callable(learning_rate)
+                else learning_rate)
 
         def leaf(g, s, p):
             g = g.astype(jnp.float32)
@@ -262,7 +300,7 @@ def came(learning_rate: float, betas=(0.9, 0.999, 0.9999),
                 upd = m
             if weight_decay:
                 upd = upd + weight_decay * p.astype(jnp.float32)
-            return (-learning_rate * upd).astype(g.dtype), out
+            return (-lr_t * upd).astype(g.dtype), out
 
         g_leaves, treedef = jax.tree_util.tree_flatten(grads)
         s_leaves = treedef.flatten_up_to(state["leaves"])

@@ -55,6 +55,19 @@ def parse_args():
                         "--use_ema; --no-use_ema saves the memory)")
     p.add_argument("--ema_decay", type=float, default=0.9999)
     p.add_argument("--learning_rate", type=float, default=2e-5)
+    # LR schedule + Adam hyperparams: defaults = the reference's SHIPPED
+    # launch values (train_wan.sh:27-35), not its argparse defaults
+    p.add_argument("--lr_scheduler", default="constant_with_warmup",
+                   choices=["constant", "constant_with_warmup", "linear",
+                            "cosine"])
+    p.add_argument("--lr_warmup_steps", type=int, default=100)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=3e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-10)
+    p.add_argument("--checkpoints_total_limit", type=int, default=2,
+                   help="checkpoint rotation depth (orbax max_to_keep; "
+                        "reference --checkpoints_total_limit)")
     p.add_argument("--optimizer", default="adamw",
                    choices=["adamw", "came"],
                    help="came = the reference's --use_came path")
@@ -214,6 +227,7 @@ def main():
         output_dir=args.output_dir, batch_size=args.batch_size,
         max_steps=args.max_steps,
         checkpointing_steps=args.checkpointing_steps,
+        checkpoints_total_limit=args.checkpoints_total_limit,
         validation_steps=args.validation_steps,
         control_dropout=args.control_dropout,
         text_dropout=args.text_dropout, seed=args.seed,
@@ -226,24 +240,27 @@ def main():
                               num_inference_steps=20)
         validation_pipeline = WanControlPipeline(dit, vae, pcfg)
 
-    tx = None
+    from more4d_tpu.train.optim import (make_adamw, make_lr_schedule,
+                                        with_low_lr)
+
+    lr = make_lr_schedule(args.learning_rate, args.lr_scheduler,
+                          args.lr_warmup_steps, args.max_steps)
     if args.optimizer == "came":
         from more4d_tpu.train import came
 
         if args.low_lr_names:
             # two-tier LR applies to CAME too (reference --use_came with
             # param groups, train_wan.py:1128-1142)
-            from more4d_tpu.train.optim import with_low_lr
-
-            tx = with_low_lr(came, args.learning_rate, args.low_lr_names,
+            tx = with_low_lr(came, lr, args.low_lr_names,
                              args.low_lr_ratio, params)
         else:
-            tx = came(args.learning_rate)
-    elif args.low_lr_names:
-        from more4d_tpu.train.optim import make_adamw
-
-        tx = make_adamw(args.learning_rate, low_lr_names=args.low_lr_names,
-                        low_lr_ratio=args.low_lr_ratio, params=params)
+            tx = came(lr)
+    else:
+        tx = make_adamw(lr, low_lr_names=args.low_lr_names or None,
+                        low_lr_ratio=args.low_lr_ratio,
+                        betas=(args.adam_beta1, args.adam_beta2),
+                        weight_decay=args.adam_weight_decay,
+                        eps=args.adam_epsilon, params=params)
 
     trainable_filter = None
     if args.trainable_modules:

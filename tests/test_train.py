@@ -243,3 +243,44 @@ def test_came_on_scan_stacked_kernels():
     g = {"k": jnp.ones((4, 8, 16), jnp.float32)}
     upd, s = tx.update(g, s, p)
     assert np.isfinite(np.asarray(upd["k"])).all()
+
+
+def test_lr_schedule_shapes():
+    """make_lr_schedule: the reference's get_scheduler subset
+    (train_wan.sh:27-28 ships constant_with_warmup + 100 warmup steps)."""
+    from more4d_tpu.train.optim import make_lr_schedule, scale_lr
+
+    assert make_lr_schedule(3e-4, "constant") == 3e-4  # plain float
+    s = make_lr_schedule(1.0, "constant_with_warmup", warmup_steps=10,
+                         total_steps=100)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(5)) - 0.5) < 1e-6
+    assert float(s(10)) == 1.0 and float(s(70)) == 1.0
+    c = make_lr_schedule(1.0, "cosine", warmup_steps=10, total_steps=110)
+    assert abs(float(c(10)) - 1.0) < 1e-6
+    assert float(c(110)) < 1e-3
+    lin = make_lr_schedule(2.0, "linear", warmup_steps=0, total_steps=10)
+    assert abs(float(lin(5)) - 1.0) < 1e-6
+    # two-tier LR composes with schedules (with_low_lr -> scale_lr)
+    assert abs(float(scale_lr(s, 0.1)(10)) - 0.1) < 1e-7
+    assert scale_lr(2.0, 0.5) == 1.0
+
+
+def test_scheduled_lr_drives_adamw_and_came():
+    """Warmup step 0 must produce a ZERO update for both optimizers (lr=0),
+    and a nonzero one at step 1 — proves the schedule reaches the update
+    rule (incl. the custom CAME transform's count-indexed lookup)."""
+    from more4d_tpu.train import came
+    from more4d_tpu.train.optim import make_adamw, make_lr_schedule
+
+    p = {"w": jnp.ones((4, 4), jnp.float32)}
+    g = {"w": jnp.full((4, 4), 0.1, jnp.float32)}
+    for name, mk in (("adamw", lambda lr: make_adamw(lr)),
+                     ("came", came)):
+        tx = mk(make_lr_schedule(1e-2, "constant_with_warmup",
+                                 warmup_steps=5, total_steps=100))
+        st = tx.init(p)
+        upd0, st = tx.update(g, st, p)
+        assert float(jnp.abs(upd0["w"]).max()) < 1e-9, name
+        upd1, st = tx.update(g, st, p)
+        assert float(jnp.abs(upd1["w"]).max()) > 1e-5, name
