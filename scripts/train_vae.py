@@ -46,6 +46,11 @@ def parse_args():
     p.add_argument("--log_steps", type=int, default=20)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--resume", action="store_true")
+    # reference --loss_skip_std_multiplier/--loss_skip_min_samples
+    # (train_vae.py:71-106): tune the windowed statistical outlier skip
+    p.add_argument("--loss_skip_std_multiplier", type=float, default=6.0)
+    p.add_argument("--loss_skip_min_samples", type=int, default=20)
+    p.add_argument("--loss_skip_window", type=int, default=100)
     return p.parse_args()
 
 
@@ -78,7 +83,9 @@ def run_training(vae, vae_params, enc, enc_params, dec, dec_params,
     os.makedirs(args.output_dir, exist_ok=True)
     metrics = MetricsLogger(args.output_dir)
     mgr = CheckpointManager(args.output_dir)
-    tracker = LossOutlierTracker()
+    tracker = LossOutlierTracker(window=args.loss_skip_window,
+                                 sigma=args.loss_skip_std_multiplier,
+                                 warmup=args.loss_skip_min_samples)
     key = jax.random.PRNGKey(args.seed)
     global_step = 0
     if args.resume and mgr.latest_step() is not None:

@@ -51,6 +51,13 @@ def parse_args():
                         "--gradient_accumulation_steps)")
     p.add_argument("--lora_alpha", type=float, default=4.0)
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    # reference ViSM train.sh:30-31 Adam hyperparams + optional schedule
+    p.add_argument("--lr_scheduler", default="constant",
+                   choices=["constant", "constant_with_warmup", "linear",
+                            "cosine"])
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--adam_weight_decay", type=float, default=3e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-10)
     p.add_argument("--max_steps", type=int, default=10000)
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--log_steps", type=int, default=20)
@@ -116,8 +123,15 @@ def run_training(dit, base_params, vae, vae_params, encode_text,
                                              make_vism_train_step)
     from more4d_tpu.utils.metrics import MetricsLogger
 
+    from more4d_tpu.train.optim import make_lr_schedule
+
     tcfg = VismTrainConfig(learning_rate=args.learning_rate)
-    tx = optax.adamw(args.learning_rate)
+    tx = optax.adamw(make_lr_schedule(args.learning_rate,
+                                      args.lr_scheduler,
+                                      args.lr_warmup_steps,
+                                      args.max_steps),
+                     weight_decay=args.adam_weight_decay,
+                     eps=args.adam_epsilon)
     if getattr(args, "grad_accum_steps", 1) > 1:
         # reference --gradient_accumulation_steps: mean gradient applied
         # every k-th micro-step; works for the streamed 14B path too
