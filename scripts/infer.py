@@ -20,9 +20,19 @@ Example:
 """
 
 import argparse
+import contextlib
 import json
 import os
 import sys
+
+
+def _maybe_trace(profile_dir):
+    """jax.profiler trace context when --profile_dir is set, else no-op."""
+    if not profile_dir:
+        return contextlib.nullcontext()
+    from more4d_tpu.utils.profiling import trace
+
+    return trace(profile_dir)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -81,6 +91,11 @@ def build_parser():
     p.add_argument("--teacache_threshold", type=float, default=0.10)
     p.add_argument("--cfg_skip_ratio", type=float, default=0.0)
     p.add_argument("--riflex_k", type=int, default=None)
+    # the reference's timer/timer_record observability (utils.py:416-466)
+    # maps to a real jax.profiler trace: view in TensorBoard or Perfetto
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of each sample's "
+                        "full two-stage run into this directory")
     # reference --mixed_precision (infer.py:1079, default bf16 in
     # infer.sh:18): bf16 casts DiT + VAE compute AND weights like the
     # reference's .to(weight_dtype) (infer.py:554,572) — on TPU this also
@@ -507,12 +522,14 @@ def main():
             plan.append((pth, prompt))
         for i, (pth, prompt) in enumerate(plan):
             print(f"[{i + 1}/{len(plan)}] {pth}")
-            process_sample(
-                pth, prompt,
-                jax.random.fold_in(jax.random.PRNGKey(args.seed), i))
+            with _maybe_trace(args.profile_dir):
+                process_sample(
+                    pth, prompt,
+                    jax.random.fold_in(jax.random.PRNGKey(args.seed), i))
     else:
-        process_sample(args.image, args.prompt,
-                       jax.random.PRNGKey(args.seed))
+        with _maybe_trace(args.profile_dir):
+            process_sample(args.image, args.prompt,
+                           jax.random.PRNGKey(args.seed))
 
 
 if __name__ == "__main__":

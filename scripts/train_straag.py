@@ -68,6 +68,10 @@ def parse_args():
     p.add_argument("--checkpoints_total_limit", type=int, default=2,
                    help="checkpoint rotation depth (orbax max_to_keep; "
                         "reference --checkpoints_total_limit)")
+    p.add_argument("--train_sampling_steps", type=int, default=1000,
+                   help="timestep-grid size for the stratified sampler "
+                        "(reference --train_sampling_steps -> "
+                        "DiscreteSampling, train_wan.py:1617)")
     p.add_argument("--optimizer", default="adamw",
                    choices=["adamw", "came"],
                    help="came = the reference's --use_came path")
@@ -222,7 +226,8 @@ def main():
                                          * mesh.shape["data"]),
                              grad_accum_steps=args.grad_accum_steps,
                              use_ema=args.use_ema,
-                             ema_decay=args.ema_decay)
+                             ema_decay=args.ema_decay,
+                             num_train_timesteps=args.train_sampling_steps)
     rcfg = StraagRunConfig(
         output_dir=args.output_dir, batch_size=args.batch_size,
         max_steps=args.max_steps,

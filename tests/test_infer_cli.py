@@ -199,6 +199,8 @@ def test_infer_cli_sweep_dp(tmp_path, ckpt_dir, monkeypatch):
         "--num_frames", str(FRAMES), "--num_inference_steps", "2",
         "--depth_provider", "constant",
         "--trajectories", "static,1", "--sweep_dp",
+        # jax.profiler trace of the sample (reference timer_record analog)
+        "--profile_dir", str(tmp_path / "trace"),
     ]
     monkeypatch.setattr(sys, "argv", argv)
 
@@ -210,6 +212,10 @@ def test_infer_cli_sweep_dp(tmp_path, ckpt_dir, monkeypatch):
     wrote = sorted(os.listdir(out_dir))
     assert sum(f.endswith(".mp4") and "_render" not in f
                and "_mask" not in f for f in wrote) == 2, wrote
+    # the profiler trace actually captured something
+    trace_files = [os.path.join(r, f)
+                   for r, _, fs in os.walk(tmp_path / "trace") for f in fs]
+    assert trace_files, "no jax.profiler trace written"
 
 
 def test_infer_cli_batch_mode(tmp_path, ckpt_dir, monkeypatch):
