@@ -32,17 +32,9 @@ class ConditioningEncoders:
 
 
 def _cast_float_leaves(tree, weight_dtype):
-    """The reference's .to(weight_dtype) for a param pytree: cast every
-    floating leaf (infer.py:554,572,589-596 casts T5/CLIP/VAE/DiT alike).
-    None weight_dtype leaves the tree untouched."""
-    import jax
+    from ..utils.quantize import cast_float_leaves
 
-    if weight_dtype is None:
-        return tree
-    return jax.tree_util.tree_map(
-        lambda a: a.astype(weight_dtype)
-        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-        else a, tree)
+    return cast_float_leaves(tree, weight_dtype)
 
 
 def build_text_encoder(t5_ckpt: str, tokenizer_path: str,

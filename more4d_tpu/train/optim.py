@@ -33,8 +33,15 @@ def make_lr_schedule(lr: float, name: str = "constant",
     (train_wan.py:306-315 --lr_scheduler/--lr_warmup_steps): returns a
     float (plain constant) or an optax schedule usable as any optimizer's
     learning_rate.  Supported: constant / constant_with_warmup / linear /
-    cosine (the reference's useful subset; its default is constant)."""
-    if name in ("constant", "constant_with_warmup"):
+    cosine (the reference's useful subset; its default is constant).
+
+    Steps are OPTIMIZER steps: under gradient accumulation the schedule
+    advances once per accumulated update (optax.MultiSteps), so callers
+    must pass total_steps in optimizer steps (micro_steps // accum).
+    Like diffusers get_scheduler, plain 'constant' ignores warmup_steps."""
+    if name == "constant":
+        return lr
+    if name == "constant_with_warmup":
         if warmup_steps <= 0:
             return lr
         return optax.join_schedules(

@@ -20,6 +20,18 @@ import jax.numpy as jnp
 FP8_MAX = 448.0  # float8_e4m3fn max normal
 
 
+def cast_float_leaves(tree: Any, dtype) -> Any:
+    """The reference's .to(weight_dtype) for a param pytree: cast every
+    floating leaf (infer.py:554,572,589-596 casts T5/CLIP/VAE/DiT alike).
+    dtype=None returns the tree untouched."""
+    if dtype is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a, tree)
+
+
 def _should_quantize(path: str, leaf) -> bool:
     if not hasattr(leaf, "ndim") or leaf.ndim < 2:
         return False

@@ -260,16 +260,13 @@ def main():
     # the reference's .to(weight_dtype) (infer.py:554,572): cast the
     # STORED weights too — on a 16 GiB chip this halves DiT+VAE HBM and
     # feeds the MXU bf16 directly instead of casting fp32 reads per-op
-    def cast_params(tree):
-        return jax.tree_util.tree_map(
-            lambda a: a.astype(wd)
-            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-            else a, tree)
-
     if wd != jnp.float32:
-        p4 = cast_params(p4) if p4 is not None else None
-        p_inp = cast_params(p_inp) if p_inp is not None else None
-        vae_params = cast_params(vae_params)
+        from more4d_tpu.utils import cast_float_leaves
+
+        p4 = cast_float_leaves(p4, wd) if p4 is not None else None
+        p_inp = (cast_float_leaves(p_inp, wd)
+                 if p_inp is not None else None)
+        vae_params = cast_float_leaves(vae_params, wd)
 
     import torch
 
@@ -459,7 +456,7 @@ def main():
         if not args.run_stage2_complete:
             return
 
-        if args.sweep_dp and jax.device_count() == 1 and len(renders) > 2:
+        if args.sweep_dp and jax.device_count() == 1 and len(renders) > 1:
             # one chip: the "DP" sweep would degenerate to one batch-k
             # program — the exact full-res-decode shape that OOMs a
             # 16 GiB chip at k>=2 (and near-OOM allocator states also
@@ -470,8 +467,12 @@ def main():
                   "to batch explicitly)")
             args.sweep_dp = False
         if args.sweep_dp:
+            # fold_in(rng2, 0) = the serial loop's first-chunk rng: the
+            # same seed yields the same videos on either branch (matches
+            # run_two_stage's sweep_mesh branch)
             outs = stage2_inpaint_dp(models, renders, prompt,
-                                     args.negative_prompt, rng=rng2)
+                                     args.negative_prompt,
+                                     rng=jax.random.fold_in(rng2, 0))
             for render, vid in zip(renders, outs):
                 path = os.path.join(args.output_dir,
                                     f"{name}_{render['name']}.mp4")

@@ -203,10 +203,10 @@ def main():
 
     import torch
 
-    from more4d_tpu.infer.encoders import _cast_float_leaves
+    from more4d_tpu.utils import cast_float_leaves
 
     params = load_wan_dit(args.pretrained_ckpt, cfg)
-    vae_params = _cast_float_leaves(load_wan_vae(args.vae_ckpt), fdt)
+    vae_params = cast_float_leaves(load_wan_vae(args.vae_ckpt), fdt)
     enc = VAEEncoderAdaptor()
     enc_params = convert_adaptor_state_dict(
         torch.load(args.encoder_adaptor, map_location="cpu",
@@ -248,8 +248,12 @@ def main():
     from more4d_tpu.train.optim import (make_adamw, make_lr_schedule,
                                         with_low_lr)
 
-    lr = make_lr_schedule(args.learning_rate, args.lr_scheduler,
-                          args.lr_warmup_steps, args.max_steps)
+    # the schedule advances once per OPTIMIZER step: under --grad_accum_steps
+    # the MultiSteps wrap (train/harness.py) steps it every k-th micro-step,
+    # so total_steps must be optimizer steps, not the micro-step cap
+    lr = make_lr_schedule(
+        args.learning_rate, args.lr_scheduler, args.lr_warmup_steps,
+        max(args.max_steps // max(args.grad_accum_steps, 1), 1))
     if args.optimizer == "came":
         from more4d_tpu.train import came
 

@@ -126,12 +126,14 @@ def run_training(dit, base_params, vae, vae_params, encode_text,
     from more4d_tpu.train.optim import make_lr_schedule
 
     tcfg = VismTrainConfig(learning_rate=args.learning_rate)
-    tx = optax.adamw(make_lr_schedule(args.learning_rate,
-                                      args.lr_scheduler,
-                                      args.lr_warmup_steps,
-                                      args.max_steps),
-                     weight_decay=args.adam_weight_decay,
-                     eps=args.adam_epsilon)
+    # total_steps in OPTIMIZER steps (the MultiSteps wrap below advances
+    # the schedule once per accumulated update, not per micro-step)
+    tx = optax.adamw(make_lr_schedule(
+        args.learning_rate, args.lr_scheduler, args.lr_warmup_steps,
+        max(args.max_steps // max(getattr(args, "grad_accum_steps", 1), 1),
+            1)),
+        weight_decay=args.adam_weight_decay,
+        eps=args.adam_epsilon)
     if getattr(args, "grad_accum_steps", 1) > 1:
         # reference --gradient_accumulation_steps: mean gradient applied
         # every k-th micro-step; works for the streamed 14B path too
@@ -213,13 +215,13 @@ def main():
                    remat=True)
     import jax.numpy as jnp
 
-    from more4d_tpu.infer.encoders import _cast_float_leaves
+    from more4d_tpu.utils import cast_float_leaves
 
     fdt = jnp.bfloat16 if args.frozen_dtype == "bf16" else None
     dit = WanDiT(cfg)
     vae = WanVAE(VAEConfig(dtype=fdt or jnp.float32))
     base_params = load_wan_dit(args.pretrained_ckpt, cfg)
-    vae_params = _cast_float_leaves(load_wan_vae(args.vae_ckpt), fdt)
+    vae_params = cast_float_leaves(load_wan_vae(args.vae_ckpt), fdt)
     encoders = build_encoders(
         t5_ckpt=args.t5_ckpt, tokenizer_path=args.tokenizer,
         clip_ckpt=args.clip_ckpt, text_dim=cfg.text_dim,

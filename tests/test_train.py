@@ -251,6 +251,8 @@ def test_lr_schedule_shapes():
     from more4d_tpu.train.optim import make_lr_schedule, scale_lr
 
     assert make_lr_schedule(3e-4, "constant") == 3e-4  # plain float
+    # like diffusers get_scheduler, plain 'constant' IGNORES warmup_steps
+    assert make_lr_schedule(3e-4, "constant", warmup_steps=100) == 3e-4
     s = make_lr_schedule(1.0, "constant_with_warmup", warmup_steps=10,
                          total_steps=100)
     assert float(s(0)) == 0.0
