@@ -951,6 +951,59 @@ def bench_denoise_81f():
             "riflex_k": 4}
 
 
+def bench_fa_tune():
+    """Flash-attention block-size autotune at the Wan operating point
+    (CFG batch 2, 12 heads, L=9568, D=128, bf16 — the 1.3B self-attention
+    shape).  Sweeps (block_q, block_k) incl. the shipped defaults
+    (512, adaptive) and prints per-config ms + the argmin, so the
+    kernel's tile choice is re-validated whenever the hardware or the
+    Pallas lowering changes.  Env-gated: MORE4D_BENCH_MODE=fa_tune."""
+    from more4d_tpu.kernels.flash_attention import flash_attention
+
+    b, l, h, d = 2, 9568, 12, 128
+    rs = np.random.RandomState(0)
+    q, k, v = (jnp.asarray(rs.randn(b, l, h, d), jnp.bfloat16)
+               for _ in range(3))
+
+    def timed(bq, bk, n_hi=8):
+        def chain(q, k, v, n):
+            def body(i, acc):
+                # data-dependent across iterations (acc*0 is not provably
+                # zero for floats, so XLA cannot CSE the chain away)
+                o = flash_attention(q + acc * 0, k, v,
+                                    block_q=bq, block_k=bk)
+                return acc + jnp.sum(o[0, 0, 0].astype(jnp.float32))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        jc = jax.jit(chain, static_argnames=())
+
+        def run(n):
+            t0 = time.perf_counter()
+            float(jc(q, k, v, jnp.asarray(n, jnp.int32)))
+            return time.perf_counter() - t0
+
+        run(1)
+        t_lo = min(run(1) for _ in range(2))
+        t_hi = min(run(n_hi) for _ in range(2))
+        return (t_hi - t_lo) / (n_hi - 1)
+
+    flops = 4.0 * b * h * l * l * d  # fwd attention (QK^T + PV)
+    results, errors = {}, {}
+    for bq in (256, 512, 1024):
+        for bk in (None, 1024, 2048, 4864):
+            key = f"q{bq}_k{bk or 'adaptive'}"
+            try:
+                dt = timed(bq, bk)
+                results[key] = {"ms": round(dt * 1e3, 2),
+                                "tflops_per_s": round(flops / dt / 1e12, 1)}
+            except Exception as e:  # VMEM overflow etc. — record, move on
+                errors[key] = f"{type(e).__name__}"
+    best = min(results, key=lambda k: results[k]["ms"]) if results else None
+    return {**relay_health(), "shape": f"b{b}_l{l}_h{h}_d{d}_bf16",
+            "best": best, "default": "q512_kadaptive",
+            "results": results, **({"errors": errors} if errors else {})}
+
+
 def _relay_alive(timeout: float = 120, platform: str = None) -> bool:
     """Probe the TPU relay in a throwaway subprocess.
 
@@ -1034,6 +1087,8 @@ _LEGS = {
     "teacache": ("teacache_speedup", lambda: (None, bench_teacache())),
     "denoise_81f": ("denoise_81f_steps_per_sec",
                     lambda: (None, bench_denoise_81f())),
+    "fa_tune": ("flash_attention_block_tune",
+                lambda: (None, bench_fa_tune())),
 }
 
 # (extra-dict key, opt-out env var, floor seconds) per default-run leg, in
