@@ -127,13 +127,16 @@ def run_training(dit, base_params, vae, vae_params, encode_text,
 
     tcfg = VismTrainConfig(learning_rate=args.learning_rate)
     # total_steps in OPTIMIZER steps (the MultiSteps wrap below advances
-    # the schedule once per accumulated update, not per micro-step)
+    # the schedule once per accumulated update, not per micro-step);
+    # getattr defaults keep run_training callable with a minimal args
+    # namespace (tests construct SimpleNamespace)
     tx = optax.adamw(make_lr_schedule(
-        args.learning_rate, args.lr_scheduler, args.lr_warmup_steps,
+        args.learning_rate, getattr(args, "lr_scheduler", "constant"),
+        getattr(args, "lr_warmup_steps", 0),
         max(args.max_steps // max(getattr(args, "grad_accum_steps", 1), 1),
             1)),
-        weight_decay=args.adam_weight_decay,
-        eps=args.adam_epsilon)
+        weight_decay=getattr(args, "adam_weight_decay", 3e-2),
+        eps=getattr(args, "adam_epsilon", 1e-10))
     if getattr(args, "grad_accum_steps", 1) > 1:
         # reference --gradient_accumulation_steps: mean gradient applied
         # every k-th micro-step; works for the streamed 14B path too
