@@ -83,9 +83,12 @@ def run_training(vae, vae_params, enc, enc_params, dec, dec_params,
     os.makedirs(args.output_dir, exist_ok=True)
     metrics = MetricsLogger(args.output_dir)
     mgr = CheckpointManager(args.output_dir)
-    tracker = LossOutlierTracker(window=args.loss_skip_window,
-                                 sigma=args.loss_skip_std_multiplier,
-                                 warmup=args.loss_skip_min_samples)
+    # getattr defaults keep the loop callable with a minimal args
+    # namespace (tests construct SimpleNamespace)
+    tracker = LossOutlierTracker(
+        window=getattr(args, "loss_skip_window", 100),
+        sigma=getattr(args, "loss_skip_std_multiplier", 6.0),
+        warmup=getattr(args, "loss_skip_min_samples", 20))
     key = jax.random.PRNGKey(args.seed)
     global_step = 0
     if args.resume and mgr.latest_step() is not None:
