@@ -192,16 +192,26 @@ def load_wan_dit(path: str, cfg: DiTConfig):
 
     if os.path.isdir(path):
         import glob
+        from concurrent.futures import ThreadPoolExecutor
 
         files = sorted(glob.glob(os.path.join(
             path, "diffusion_pytorch_model*.safetensors")))
-        sd = {}
         from safetensors import safe_open
 
-        for f in files:
+        # shard reads are I/O-bound and release the GIL — reading the
+        # 14B's ~6 shards in parallel cuts cold checkpoint-load wall time
+        def _read(f):
+            out = {}
             with safe_open(f, framework="np") as fh:
                 for k in fh.keys():
-                    sd[k] = fh.get_tensor(k)
+                    out[k] = fh.get_tensor(k)
+            return out
+
+        sd = {}
+        with ThreadPoolExecutor(max_workers=min(8, max(len(files), 1))) \
+                as ex:
+            for shard in ex.map(_read, files):
+                sd.update(shard)
     elif path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
