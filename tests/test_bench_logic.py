@@ -49,3 +49,26 @@ def test_default_run_registry_consistent():
     # default-off keys must still be default-run entries
     keys = {k for k, *_ in bench._DEFAULT_RUN}
     assert bench._DEFAULT_OFF <= keys
+
+
+def test_bench_zero_budget_emits_parseable_capture():
+    """`python bench.py` with an exhausted budget must still exit 0 and
+    print parseable JSON lines whose last line records every skipped leg —
+    the exact guarantee the driver capture relies on (BENCH_r02 died at
+    rc=124 with an EMPTY tail; this pins the fixed contract)."""
+    import json
+    import subprocess
+
+    env = dict(os.environ, MORE4D_BENCH_PROBE="0",
+               MORE4D_BENCH_BUDGET_S="1")
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        capture_output=True, text=True, timeout=180)
+    assert proc.returncode == 0, proc.stderr[-500:]
+    lines = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    assert lines, "no output lines"
+    for line in lines:
+        assert {"metric", "value", "unit", "vs_baseline"} <= set(line)
+    skipped = {s["leg"] for s in lines[-1]["extra"]["legs_skipped"]}
+    assert "denoise" in skipped and "two_stage_14b" in skipped
