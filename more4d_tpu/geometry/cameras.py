@@ -34,8 +34,15 @@ def static_trajectory(center, n_frames: int, **kw) -> List[np.ndarray]:
 
 
 def forward_backward_trajectory(center, n_frames: int,
-                                radius_base: float = 0.3,
-                                z_progress: bool = True) -> List[np.ndarray]:
+                                radius_base: float = None,
+                                z_progress: bool = True,
+                                radius_mult: float = 1.0
+                                ) -> List[np.ndarray]:
+    # the reference dispatcher scales the motion to the scene's depth:
+    # radius = 0.4 * |center_z| (render_trajectory, infer.py:412)
+    if radius_base is None:
+        radius_base = 0.4 * abs(float(np.asarray(center)[2]))
+    radius_base *= radius_mult
     out = []
     for i in range(n_frames):
         if i < n_frames // 4:
@@ -53,9 +60,15 @@ def forward_backward_trajectory(center, n_frames: int,
 
 
 def circle_rotating_trajectory(center, n_frames: int,
-                               radius_base: float = 0.3,
-                               z_progress: bool = True) -> List[np.ndarray]:
+                               radius_base: float = None,
+                               z_progress: bool = True,
+                               radius_mult: float = 1.0
+                               ) -> List[np.ndarray]:
     center = np.asarray(center, np.float64)
+    # reference dispatcher: radius = 0.05 * |center_z| (infer.py:415)
+    if radius_base is None:
+        radius_base = 0.05 * abs(float(center[2]))
+    radius_base *= radius_mult
     out = []
     for i in range(n_frames):
         angle = 2 * math.pi * i / n_frames
@@ -106,19 +119,26 @@ _GENERATORS = {
     "camera_rotate": camera_rotate_trajectory,
 }
 
-# The 11-trajectory sweep rendered per sample (infer.py:906-924).
+# The 11-trajectory sweep rendered per sample (infer.py:906-924).  The
+# reference lists 11 names but its dispatcher implements only 5 — the
+# other 6 (mix1/mix2/anti-surrounding/circular/y_moving/x_moving) raise
+# ValueError and are swallowed by the per-trajectory try/except
+# (infer.py:925-927), so the shipped sweep effectively renders 5 videos.
+# Here the 5 real generators fill all 11 slots via parameterized variants
+# (radius_mult scales the dispatcher's depth-proportional radius,
+# 0.4|z| forward_backward / 0.05|z| circle_rotating).
 TRAJECTORY_TYPES = [
     ("static", {}),
     ("forward_backward", {}),
     ("forward_backward", {"z_progress": False}),
     ("circle_rotating", {}),
     ("circle_rotating", {"z_progress": False}),
-    ("circle_rotating", {"radius_base": 0.15}),
-    ("circle_rotating", {"radius_base": 0.15, "z_progress": False}),
+    ("circle_rotating", {"radius_mult": 0.5}),
+    ("circle_rotating", {"radius_mult": 0.5, "z_progress": False}),
     ("surrounding", {}),
     ("camera_rotate", {}),
     ("camera_rotate", {"rotate_max_degree": 15.0}),
-    ("forward_backward", {"radius_base": 0.6}),
+    ("forward_backward", {"radius_mult": 1.5}),
 ]
 
 
