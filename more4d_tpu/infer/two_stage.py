@@ -235,7 +235,7 @@ def stage2_inpaint_dp(m: TwoStageModels,
                       renders: Sequence[Dict[str, np.ndarray]],
                       prompt: str, negative_prompt: str = "",
                       rng: Optional[jax.Array] = None,
-                      mesh=None) -> np.ndarray:
+                      mesh=None, shared_noise: bool = False) -> np.ndarray:
     """Trajectory-sweep DATA PARALLELISM: inpaint K rendered trajectories
     with the batch sharded one-per-chip over ``mesh``'s (dcn, data) axes.
 
@@ -271,7 +271,12 @@ def stage2_inpaint_dp(m: TwoStageModels,
 
     # noise for the REAL k first, pad rows by repetition: the same rng
     # then yields the same videos as the serial sweep on any mesh size
-    latents = pipe.prepare_latents(rng, k)
+    # (shared_noise = the reference's per-trajectory re-seed semantics,
+    # infer.py:957-959 — one noise row repeated across the sweep)
+    if shared_noise:
+        latents = jnp.repeat(pipe.prepare_latents(rng, 1), k, axis=0)
+    else:
+        latents = pipe.prepare_latents(rng, k)
     if k_pad > k:
         latents = jnp.concatenate(
             [latents, jnp.repeat(latents[-1:], k_pad - k, axis=0)], axis=0)
@@ -315,7 +320,8 @@ def stage2_inpaint_batch(m: TwoStageModels,
                          prompt: str, negative_prompt: str = "",
                          rng: Optional[jax.Array] = None,
                          decode_chunk: int = 1,
-                         denoise_group: Optional[int] = None) -> np.ndarray:
+                         denoise_group: Optional[int] = None,
+                         shared_noise: bool = False) -> np.ndarray:
     """Fill disocclusions of K rendered trajectories with a batched
     encode + grouped denoise.
 
@@ -332,7 +338,13 @@ def stage2_inpaint_batch(m: TwoStageModels,
     rng = rng if rng is not None else jax.random.PRNGKey(1)
     pipe = m.inpaint_pipeline
     k = len(renders)
-    latents = pipe.prepare_latents(rng, k)
+    if shared_noise:
+        # reference semantics: the sweep re-seeds manual_seed(seed+1) for
+        # EVERY trajectory (infer.py:957-959), so all K inpaints start
+        # from the SAME initial latent noise
+        latents = jnp.repeat(pipe.prepare_latents(rng, 1), k, axis=0)
+    else:
+        latents = pipe.prepare_latents(rng, k)
 
     y, clips = None, []
     if k > 1:
@@ -394,7 +406,7 @@ def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
                   rng: Optional[jax.Array] = None,
                   stage2_batch: int = 1,
                   stage2_denoise_group: Optional[int] = None,
-                  sweep_mesh=None):
+                  sweep_mesh=None, stage2_shared_noise: bool = False):
     """Single image -> list of inpainted novel-view videos (one per camera
     trajectory), plus the stage-1 point clouds.
 
@@ -424,15 +436,20 @@ def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
         # whichever branch runs
         outs = stage2_inpaint_dp(m, renders, prompt, negative_prompt,
                                  rng=jax.random.fold_in(r2, 0),
-                                 mesh=sweep_mesh)
+                                 mesh=sweep_mesh,
+                                 shared_noise=stage2_shared_noise)
         videos = [{"name": r["name"], "video": out}
                   for r, out in zip(renders, outs)]
     else:
         for c0 in range(0, len(renders), max(stage2_batch, 1)):
             chunk = renders[c0:c0 + max(stage2_batch, 1)]
-            outs = stage2_inpaint_batch(m, chunk, prompt, negative_prompt,
-                                        rng=jax.random.fold_in(r2, c0),
-                                        denoise_group=stage2_denoise_group)
+            outs = stage2_inpaint_batch(
+                m, chunk, prompt, negative_prompt,
+                # shared noise must match ACROSS chunks: fixed chunk rng
+                rng=jax.random.fold_in(r2, 0 if stage2_shared_noise
+                                       else c0),
+                denoise_group=stage2_denoise_group,
+                shared_noise=stage2_shared_noise)
             for render, out in zip(chunk, outs):
                 videos.append({"name": render["name"], "video": out})
     return {"coords": coords, "colors": colors, "renders": renders,

@@ -121,6 +121,11 @@ def build_parser():
                         "(default: the whole group); lets the encode "
                         "batch wide while the denoise stays narrow on "
                         "memory-tight chips")
+    # reference stage-2 semantics: manual_seed(seed+1) PER trajectory
+    # (infer.py:957-959) -> every trajectory inpaints from the same
+    # initial noise; --no-stage2_shared_noise draws independent noise
+    p.add_argument("--stage2_shared_noise",
+                   action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--sweep_dp", action="store_true",
                    help="data-parallel trajectory sweep: shard the whole "
                         "stage-2 sweep one-trajectory-per-chip over every "
@@ -472,7 +477,8 @@ def main():
             # run_two_stage's sweep_mesh branch)
             outs = stage2_inpaint_dp(models, renders, prompt,
                                      args.negative_prompt,
-                                     rng=jax.random.fold_in(rng2, 0))
+                                     rng=jax.random.fold_in(rng2, 0),
+                                     shared_noise=args.stage2_shared_noise)
             for render, vid in zip(renders, outs):
                 path = os.path.join(args.output_dir,
                                     f"{name}_{render['name']}.mp4")
@@ -483,8 +489,13 @@ def main():
             chunk = renders[c0:c0 + max(args.stage2_batch, 1)]
             outs = stage2_inpaint_batch(
                 models, chunk, prompt, args.negative_prompt,
-                rng=jax.random.fold_in(rng2, c0),
-                denoise_group=args.stage2_denoise_group)
+                # shared noise must be identical ACROSS chunks too: fixed
+                # chunk rng, one repeated noise row inside
+                rng=(jax.random.fold_in(rng2, 0)
+                     if args.stage2_shared_noise
+                     else jax.random.fold_in(rng2, c0)),
+                denoise_group=args.stage2_denoise_group,
+                shared_noise=args.stage2_shared_noise)
             for render, vid in zip(chunk, outs):
                 path = os.path.join(args.output_dir,
                                     f"{name}_{render['name']}.mp4")

@@ -165,6 +165,19 @@ def test_two_stage_end_to_end():
         set_mesh(None)
     np.testing.assert_allclose(dp_stale, dp, atol=1e-5)
 
+    # shared_noise = the reference's per-trajectory re-seed semantics
+    # (infer.py:957-959): every trajectory denoises from the SAME initial
+    # noise, so two IDENTICAL renders must yield identical videos — and
+    # the DP path must agree with the batch path row-for-row
+    dup = [out["renders"][0], out["renders"][0]]
+    sn = stage2_inpaint_batch(det, dup, "a cat",
+                              rng=jax.random.PRNGKey(9), shared_noise=True)
+    np.testing.assert_allclose(np.asarray(sn[0]), np.asarray(sn[1]),
+                               atol=1e-5)
+    sn_dp = stage2_inpaint_dp(det, dup, "a cat",
+                              rng=jax.random.PRNGKey(9), shared_noise=True)
+    np.testing.assert_allclose(sn_dp, np.asarray(sn), atol=2e-4)
+
     # run_two_stage(sweep_mesh=...) == run_two_stage(stage2_batch=k):
     # the DP branch folds the same chunk rng as the serial whole-batch
     # path, so toggling the branch cannot change the videos
