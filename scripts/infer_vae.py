@@ -88,6 +88,65 @@ def evaluate(vae, vae_params, enc, enc_params, dec, dec_params,
     return summary
 
 
+
+def build_render_fn(args):
+    """Roundtrip-video renderer for --save_videos: z-buffer projection
+    and/or the Pallas 3DGS rasteriser (reference --render_type/--gs_scale,
+    infer_vae.py:33-34,57-199)."""
+    import jax.numpy as _jnp
+
+    from more4d_tpu.data.vism import project_point_cloud
+    from more4d_tpu.geometry import get_intrinsic_matrix
+    from more4d_tpu.kernels.gs_splat import gs_render_tiled_video
+    from more4d_tpu.utils.artifacts import save_videos_grid
+
+    rh, rw = args.height // 2, args.width // 2
+    render_type = getattr(args, "render_type", "project")
+    gs_scale = getattr(args, "gs_scale", 1e-4)
+
+    def _project_pair(flow, recon, colors):
+        frames = []
+        for t in range(flow.shape[0]):
+            a, _ = project_point_cloud(
+                flow[t].reshape(-1, 3) + np.array([0, 0, 2], np.float32),
+                colors, rh, rw)
+            b, _ = project_point_cloud(
+                recon[t].reshape(-1, 3) + np.array([0, 0, 2], np.float32),
+                colors, rh, rw)
+            frames.append(np.concatenate([a, b], axis=1))
+        return np.asarray(frames)
+
+    def _gs_pair(flow, recon, colors):
+        # Pallas tile rasteriser (the reference's 3DGS render_type)
+        intr = _jnp.asarray(get_intrinsic_matrix(rh, rw), _jnp.float32)
+        exts = _jnp.tile(_jnp.eye(4, dtype=_jnp.float32),
+                         (flow.shape[0], 1, 1))
+        off = np.array([0, 0, 2], np.float32)
+        cj = _jnp.asarray(colors)
+        a, _ = gs_render_tiled_video(
+            _jnp.asarray(flow.reshape(flow.shape[0], -1, 3) + off),
+            cj, exts, intr, rh, rw, scale=gs_scale)
+        b, _ = gs_render_tiled_video(
+            _jnp.asarray(recon.reshape(recon.shape[0], -1, 3) + off),
+            cj, exts, intr, rh, rw, scale=gs_scale)
+        return np.concatenate([np.asarray(a), np.asarray(b)], axis=2)
+
+    def render_fn(name, flow, recon):
+        rs = np.random.RandomState(0)
+        colors = rs.rand(flow.shape[1] * flow.shape[2],
+                         3).astype(np.float32)
+        if render_type in ("project", "both"):
+            save_videos_grid(
+                os.path.join(args.output_dir, f"{name}_roundtrip.mp4"),
+                _project_pair(flow, recon, colors)[None], fps=8)
+        if render_type in ("3dgs", "both"):
+            save_videos_grid(
+                os.path.join(args.output_dir, f"{name}_roundtrip_gs.mp4"),
+                np.clip(_gs_pair(flow, recon, colors), 0, 1)[None], fps=8)
+
+    return render_fn
+
+
 def main():
     args = parse_args()
     import jax.numpy as jnp
@@ -127,29 +186,7 @@ def main():
                                              args.num_frames, args.height,
                                              args.width)
 
-    render_fn = None
-    if args.save_videos:
-        from more4d_tpu.data.vism import project_point_cloud
-        from more4d_tpu.utils.artifacts import save_videos_grid
-
-        def render_fn(name, flow, recon):
-            frames = []
-            rs = np.random.RandomState(0)
-            colors = rs.rand(flow.shape[1] * flow.shape[2], 3)
-            colors = colors.astype(np.float32)
-            for t in range(flow.shape[0]):
-                a, _ = project_point_cloud(
-                    flow[t].reshape(-1, 3) + np.array([0, 0, 2],
-                                                      np.float32),
-                    colors, args.height // 2, args.width // 2)
-                b, _ = project_point_cloud(
-                    recon[t].reshape(-1, 3) + np.array([0, 0, 2],
-                                                       np.float32),
-                    colors, args.height // 2, args.width // 2)
-                frames.append(np.concatenate([a, b], axis=1))
-            save_videos_grid(
-                os.path.join(args.output_dir, f"{name}_roundtrip.mp4"),
-                np.asarray(frames)[None], fps=8)
+    render_fn = build_render_fn(args) if args.save_videos else None
 
     evaluate(vae, vae_params, enc, enc_params, dec, dec_params, samples(),
              args, render_fn)

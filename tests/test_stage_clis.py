@@ -177,3 +177,24 @@ def test_infer_vae_evaluate(tiny_vae, tiny_adaptors, tmp_path, capsys):
     assert np.isfinite(summary["value"])
     out = capsys.readouterr().out
     assert json.loads(out.strip().splitlines()[-1])["unit"] == "mean-EPE"
+
+
+def test_infer_vae_render_types(tmp_path):
+    """--render_type {project,3dgs,both} roundtrip videos (reference
+    infer_vae.py:33-34): both renderers produce the advertised artifact
+    set from the same flow pair."""
+    from infer_vae import build_render_fn
+
+    args = types.SimpleNamespace(output_dir=str(tmp_path), height=32,
+                                 width=32, render_type="both",
+                                 gs_scale=1e-4)
+    rs = np.random.RandomState(0)
+    flow = rs.randn(3, 32, 32, 3).astype(np.float32) * 0.05
+    build_render_fn(args)("s0", flow, flow + 0.01)
+    wrote = sorted(os.listdir(tmp_path))
+    assert "s0_roundtrip.mp4" in wrote and "s0_roundtrip_gs.mp4" in wrote
+
+    args.render_type = "3dgs"
+    build_render_fn(args)("s1", flow, flow)
+    wrote = sorted(os.listdir(tmp_path))
+    assert "s1_roundtrip_gs.mp4" in wrote and "s1_roundtrip.mp4" not in wrote
