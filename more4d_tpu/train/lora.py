@@ -30,11 +30,14 @@ def _paths(tree):
 
 
 def create_lora(params, rng, rank: int = 4, alpha: float = 1.0,
-                targets: str = DEFAULT_TARGETS):
+                targets: str = DEFAULT_TARGETS,
+                skip_name: Optional[str] = None):
     """Build the LoRA factor tree for all matching 2D kernels.
 
     down: [in, r] kaiming-uniform; up: [r, out] zeros (so LoRA starts as
-    identity, lora_utils.py:96-100).
+    identity, lora_utils.py:96-100). ``skip_name`` drops any kernel whose
+    path contains the substring (reference --lora_skip_name,
+    lora_utils.py:205: ``skip_name in child_name``).
     """
     pattern = re.compile(targets)
     flat = {}
@@ -43,6 +46,8 @@ def create_lora(params, rng, rank: int = 4, alpha: float = 1.0,
         # 2D = plain Dense kernel; 3D = [num_layers, in, out] (scanned blocks)
         if pattern.search(path) and hasattr(leaf, "ndim") \
                 and leaf.ndim in (2, 3):
+            if skip_name is not None and skip_name in path:
+                continue
             keys[path] = leaf.shape
     rngs = jax.random.split(rng, max(len(keys), 1))
     for (path, shape), k in zip(sorted(keys.items()), rngs):

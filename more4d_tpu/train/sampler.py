@@ -15,6 +15,42 @@ import jax
 import jax.numpy as jnp
 
 
+def timestep_density_u(rng, weighting_scheme: str, batch_size: int,
+                       logit_mean: float = 0.0, logit_std: float = 1.0,
+                       mode_scale: float = 1.29):
+    """SD3 timestep-density sampling (the reference's non-uniform path,
+    train_wan.py:1895-1902 via diffusers
+    ``compute_density_for_timestep_sampling``): returns u [batch_size] in
+    [0, 1); indices = floor(u * num_train_timesteps).
+
+    - 'logit_normal': u = sigmoid(N(logit_mean, logit_std))
+    - 'mode':         u ~ U[0,1); u <- 1 - u - mode_scale*(cos(pi u/2)^2 - 1 + u)
+    - else ('none', 'sigma_sqrt', 'cosmap'): u ~ U[0,1)
+    """
+    if weighting_scheme == "logit_normal":
+        u = jax.random.normal(rng, (batch_size,)) * logit_std + logit_mean
+        return jax.nn.sigmoid(u)
+    u = jax.random.uniform(rng, (batch_size,))
+    if weighting_scheme == "mode":
+        u = 1.0 - u - mode_scale * (
+            jnp.cos(jnp.pi * u / 2.0) ** 2 - 1.0 + u)
+    return u
+
+
+def loss_weighting_sd3(weighting_scheme: str, sigmas):
+    """SD3 per-sample loss weighting (train_wan.py:1964 via diffusers
+    ``compute_loss_weighting_for_sd3``). Only 'sigma_sqrt' and 'cosmap'
+    differ from ones; the reference applies this unconditionally with its
+    default scheme 'none'."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    if weighting_scheme == "sigma_sqrt":
+        return sigmas ** -2.0
+    if weighting_scheme == "cosmap":
+        bot = 1.0 - 2.0 * sigmas + 2.0 * sigmas ** 2
+        return 2.0 / (jnp.pi * bot)
+    return jnp.ones_like(sigmas)
+
+
 class StratifiedTimestepSampler:
     def __init__(self, num_idx: int, uniform_sampling: bool = True,
                  start_num_idx: int = 0, world_size: int = 1,

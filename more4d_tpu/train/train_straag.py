@@ -29,7 +29,8 @@ from ..diffusion.flow_match import shift_sigmas
 from ..models.wan_dit import WanDiT
 from .optim import (custom_mse_loss, dynamic_clip_norm, ema_update,
                     global_grad_norm, motion_sub_loss)
-from .sampler import StratifiedTimestepSampler
+from .sampler import (StratifiedTimestepSampler, loss_weighting_sd3,
+                      timestep_density_u)
 
 
 def training_schedule(num_train_timesteps: int = 1000, shift: float = 5.0):
@@ -53,6 +54,14 @@ class StraagTrainConfig:
     shift: float = 5.0
     num_train_timesteps: int = 1000
     uniform_sampling: bool = True
+    # SD3 density sampling + loss weighting (train_wan.py:1895-1902,1964):
+    # when uniform_sampling is False, indices come from timestep_density_u
+    # under this scheme; the loss weighting is applied in EITHER mode
+    # (the reference computes it unconditionally; 'none' => ones)
+    weighting_scheme: str = "none"
+    logit_mean: float = 0.0
+    logit_std: float = 1.0
+    mode_scale: float = 1.29
     world_size: int = 1
     ema_decay: float = 0.9999
     use_ema: bool = True
@@ -109,9 +118,20 @@ def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,
         rng_t, rng_n = jax.random.split(rng)
         x = batch["latents"].astype(jnp.float32)
         b = x.shape[0]
-        idx = sampler(rng_t, b, rank)
+        if cfg.uniform_sampling:
+            idx = sampler(rng_t, b, rank)
+        else:
+            # density path (train_wan.py:1895-1902): indices from the
+            # SD3 sampling-density transform, no rank stratification
+            u = timestep_density_u(rng_t, cfg.weighting_scheme, b,
+                                   cfg.logit_mean, cfg.logit_std,
+                                   cfg.mode_scale)
+            idx = jnp.clip((u * cfg.num_train_timesteps).astype(jnp.int32),
+                           0, cfg.num_train_timesteps - 1)
         sigma = sigmas[idx].reshape(b, 1, 1, 1, 1)
         t = (sigmas[idx] * 1000.0).astype(jnp.float32)
+        loss_weight = loss_weighting_sd3(cfg.weighting_scheme,
+                                         sigma)
         noise = jax.random.normal(rng_n, x.shape, jnp.float32)
         zt = (1.0 - sigma) * x + sigma * noise
         target = noise - x
@@ -124,7 +144,7 @@ def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,
             pred = dit.apply(p, zt, t, batch["context"], y=batch["y"],
                              clip_fea=batch.get("clip_fea"),
                              mpm_features=batch.get("mpm_features"))
-            loss = custom_mse_loss(pred, target,
+            loss = custom_mse_loss(pred, target, weighting=loss_weight,
                                    threshold=cfg.mse_threshold)
             if cfg.motion_sub_loss:
                 sub = motion_sub_loss(pred, target)

@@ -68,6 +68,22 @@ def parse_args():
     p.add_argument("--checkpoints_total_limit", type=int, default=2,
                    help="checkpoint rotation depth (orbax max_to_keep; "
                         "reference --checkpoints_total_limit)")
+    # timestep sampling density + SD3 loss weighting
+    # (train_wan.py:1895-1902,1964). Default = the reference LAUNCHER's
+    # --uniform_sampling (train_wan.sh); --no-uniform_sampling switches to
+    # the density path under --weighting_scheme
+    p.add_argument("--uniform_sampling",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="rank-stratified uniform timestep sampling; "
+                        "--no-uniform_sampling uses the SD3 density "
+                        "sampler under --weighting_scheme")
+    p.add_argument("--weighting_scheme", default="none",
+                   choices=["sigma_sqrt", "logit_normal", "mode",
+                            "cosmap", "none"],
+                   help="SD3 sampling-density / loss-weighting scheme")
+    p.add_argument("--logit_mean", type=float, default=0.0)
+    p.add_argument("--logit_std", type=float, default=1.0)
+    p.add_argument("--mode_scale", type=float, default=1.29)
     p.add_argument("--train_sampling_steps", type=int, default=1000,
                    help="timestep-grid size for the stratified sampler "
                         "(reference --train_sampling_steps -> "
@@ -227,7 +243,12 @@ def main():
                              grad_accum_steps=args.grad_accum_steps,
                              use_ema=args.use_ema,
                              ema_decay=args.ema_decay,
-                             num_train_timesteps=args.train_sampling_steps)
+                             num_train_timesteps=args.train_sampling_steps,
+                             uniform_sampling=args.uniform_sampling,
+                             weighting_scheme=args.weighting_scheme,
+                             logit_mean=args.logit_mean,
+                             logit_std=args.logit_std,
+                             mode_scale=args.mode_scale)
     rcfg = StraagRunConfig(
         output_dir=args.output_dir, batch_size=args.batch_size,
         max_steps=args.max_steps,

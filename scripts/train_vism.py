@@ -50,7 +50,36 @@ def parse_args():
                    help="micro-batch gradient accumulation (reference "
                         "--gradient_accumulation_steps)")
     p.add_argument("--lora_alpha", type=float, default=4.0)
+    p.add_argument("--lora_skip_name", default=None,
+                   help="skip LoRA on kernels whose path contains this "
+                        "substring (reference --lora_skip_name)")
+    p.add_argument("--train_text_encoder", action="store_true",
+                   help="also LoRA-train the umT5 text encoder (reference "
+                        "network.apply_to(text_encoder, ..., True), "
+                        "4D_ViSM_training/train.py:868); requires "
+                        "--t5_ckpt")
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--max_grad_norm", type=float, default=1.0,
+                   help="LoRA-gradient global-norm clip (reference "
+                        "--max_grad_norm default 1.0)")
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "came"],
+                   help="came = the reference's --use_came")
+    p.add_argument("--motion_sub_loss", action="store_true",
+                   help="temporal-difference loss term (reference "
+                        "--motion_sub_loss, train.py:1775-1779)")
+    p.add_argument("--motion_sub_loss_ratio", type=float, default=0.25)
+    p.add_argument("--uniform_sampling",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="--no-uniform_sampling switches to the SD3 "
+                        "density sampler under --weighting_scheme "
+                        "(train.py:1706-1712)")
+    p.add_argument("--weighting_scheme", default="none",
+                   choices=["sigma_sqrt", "logit_normal", "mode",
+                            "cosmap", "none"])
+    p.add_argument("--logit_mean", type=float, default=0.0)
+    p.add_argument("--logit_std", type=float, default=1.0)
+    p.add_argument("--mode_scale", type=float, default=1.29)
     # reference ViSM train.sh:30-31 Adam hyperparams + optional schedule
     p.add_argument("--lr_scheduler", default="constant",
                    choices=["constant", "constant_with_warmup", "linear",
@@ -77,8 +106,11 @@ def parse_args():
 
 
 def prepare_vism_batch(sample, vae, vae_params, encode_text, encode_clip,
-                       encode_fn=None):
-    """ViSMSample -> jitted-step batch (train.py:1614-1668 semantics)."""
+                       encode_fn=None, tokenize=None):
+    """ViSMSample -> jitted-step batch (train.py:1614-1668 semantics).
+
+    With ``tokenize`` (--train_text_encoder) the batch carries raw
+    input_ids/attention_mask and the step encodes text inside the loss."""
     import jax.numpy as jnp
 
     from more4d_tpu.models.vae_streaming import encode_streamed
@@ -94,8 +126,13 @@ def prepare_vism_batch(sample, vae, vae_params, encode_text, encode_clip,
     mask4 = resize_mask_to_latent(mask4, latents.shape)
     y = jnp.concatenate([mask4, mask_latents], axis=-1)
     y = y * sample.t2v_keep_flag                         # t2v_flag
-    batch = {"latents": latents, "y": y,
-             "context": encode_text([sample.text]).astype(jnp.float32)}
+    batch = {"latents": latents, "y": y}
+    if tokenize is not None:
+        ids, mask = tokenize([sample.text])
+        batch["input_ids"] = ids
+        batch["attention_mask"] = mask
+    else:
+        batch["context"] = encode_text([sample.text]).astype(jnp.float32)
     if encode_clip is not None:
         batch["clip_fea"] = encode_clip(
             jnp.asarray(sample.clip_image01)[None] * 2.0 - 1.0)
@@ -103,7 +140,8 @@ def prepare_vism_batch(sample, vae, vae_params, encode_text, encode_clip,
 
 
 def run_training(dit, base_params, vae, vae_params, encode_text,
-                 sample_iter, args, encode_clip=None):
+                 sample_iter, args, encode_clip=None,
+                 text_encoder=None, te_params=None, tokenize=None):
     """Core loop, callable from tests with tiny models.
 
     ``base_params`` may be passed as a single-element list ("box"): the
@@ -125,24 +163,49 @@ def run_training(dit, base_params, vae, vae_params, encode_text,
 
     from more4d_tpu.train.optim import make_lr_schedule
 
-    tcfg = VismTrainConfig(learning_rate=args.learning_rate)
+    tcfg = VismTrainConfig(
+        learning_rate=args.learning_rate,
+        max_grad_norm=getattr(args, "max_grad_norm", 1.0),
+        motion_sub_loss=getattr(args, "motion_sub_loss", False),
+        motion_sub_loss_ratio=getattr(args, "motion_sub_loss_ratio", 0.25),
+        uniform_sampling=getattr(args, "uniform_sampling", True),
+        weighting_scheme=getattr(args, "weighting_scheme", "none"),
+        logit_mean=getattr(args, "logit_mean", 0.0),
+        logit_std=getattr(args, "logit_std", 1.0),
+        mode_scale=getattr(args, "mode_scale", 1.29))
     # total_steps in OPTIMIZER steps (the MultiSteps wrap below advances
     # the schedule once per accumulated update, not per micro-step);
     # getattr defaults keep run_training callable with a minimal args
     # namespace (tests construct SimpleNamespace)
-    tx = optax.adamw(make_lr_schedule(
+    schedule = make_lr_schedule(
         args.learning_rate, getattr(args, "lr_scheduler", "constant"),
         getattr(args, "lr_warmup_steps", 0),
         max(args.max_steps // max(getattr(args, "grad_accum_steps", 1), 1),
-            1)),
-        weight_decay=getattr(args, "adam_weight_decay", 3e-2),
-        eps=getattr(args, "adam_epsilon", 1e-10))
+            1))
+    if getattr(args, "optimizer", "adamw") == "came":
+        # reference --use_came (4D_ViSM_training/train.py:983-999)
+        from more4d_tpu.train.optim import came
+
+        tx = came(schedule,
+                  weight_decay=getattr(args, "adam_weight_decay", 3e-2))
+    else:
+        tx = optax.adamw(
+            schedule,
+            weight_decay=getattr(args, "adam_weight_decay", 3e-2),
+            eps=getattr(args, "adam_epsilon", 1e-10))
     if getattr(args, "grad_accum_steps", 1) > 1:
         # reference --gradient_accumulation_steps: mean gradient applied
         # every k-th micro-step; works for the streamed 14B path too
         # (the wrap only touches the factor-sized optimizer state)
         tx = optax.MultiSteps(tx, every_k_schedule=args.grad_accum_steps)
+    train_te = (text_encoder is not None
+                and getattr(args, "train_text_encoder", False))
+    skip_name = getattr(args, "lora_skip_name", None)
     if getattr(args, "offload_blocks", False):
+        if train_te:
+            raise SystemExit("--train_text_encoder is incompatible with "
+                             "--offload_blocks (the streamed trainer "
+                             "recomputes only the DiT)")
         # 14B-on-one-chip path: frozen fp8 base streams from pinned host
         # for the forward AND the backward recompute; only the LoRA
         # factors (and optimizer state) live in HBM
@@ -160,9 +223,31 @@ def run_training(dit, base_params, vae, vae_params, encode_text,
             return trainer.train_step(lora, opt_state, batch, rng)
 
         base_params = None
+    elif train_te:
+        # LoRA on the umT5 tower too (reference --train_text_encoder,
+        # train.py:868): both factor trees train under one optimizer
+        from more4d_tpu.train.train_vism import TE_LORA_TARGETS
+
+        lora = {"dit": create_lora(base_params,
+                                   jax.random.PRNGKey(args.seed),
+                                   rank=args.lora_rank,
+                                   alpha=args.lora_alpha,
+                                   skip_name=skip_name),
+                "te": create_lora(te_params,
+                                  jax.random.PRNGKey(args.seed + 1),
+                                  rank=args.lora_rank,
+                                  alpha=args.lora_alpha,
+                                  targets=TE_LORA_TARGETS,
+                                  skip_name=skip_name)}
+        base_params = {"dit": base_params, "te": te_params}
+        opt_state = tx.init({"dit": lora["dit"]["factors"],
+                             "te": lora["te"]["factors"]})
+        step_fn = jax.jit(make_vism_train_step(dit, tx, tcfg,
+                                               text_encoder=text_encoder))
     else:
         lora = create_lora(base_params, jax.random.PRNGKey(args.seed),
-                           rank=args.lora_rank, alpha=args.lora_alpha)
+                           rank=args.lora_rank, alpha=args.lora_alpha,
+                           skip_name=skip_name)
         opt_state = tx.init(lora["factors"])
         step_fn = jax.jit(make_vism_train_step(dit, tx, tcfg))
 
@@ -181,7 +266,8 @@ def run_training(dit, base_params, vae, vae_params, encode_text,
         if global_step >= args.max_steps:
             break
         batch = prepare_vism_batch(sample, vae, vae_params, encode_text,
-                                   encode_clip)
+                                   encode_clip,
+                                   tokenize=tokenize if train_te else None)
         key, sub = jax.random.split(key)
         lora, opt_state, m = step_fn(lora, opt_state, base_params, batch,
                                      sub)
@@ -225,10 +311,38 @@ def main():
     vae = WanVAE(VAEConfig(dtype=fdt or jnp.float32))
     base_params = load_wan_dit(args.pretrained_ckpt, cfg)
     vae_params = cast_float_leaves(load_wan_vae(args.vae_ckpt), fdt)
+    text_encoder = te_params = tokenize = None
+    if args.train_text_encoder:
+        # the T5 tower moves inside the train step (LoRA-merged per step),
+        # so build it raw here and skip the frozen encode_text closure
+        if not args.t5_ckpt:
+            raise SystemExit("--train_text_encoder requires --t5_ckpt")
+        import torch
+        from transformers import AutoTokenizer
+
+        from more4d_tpu.config import T5Config
+        from more4d_tpu.models.t5 import WanT5Encoder, convert_t5_state_dict
+
+        t5cfg = T5Config()
+        text_encoder = WanT5Encoder(t5cfg)
+        te_params = convert_t5_state_dict(
+            torch.load(args.t5_ckpt, map_location="cpu",
+                       weights_only=True), t5cfg)
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+
+        def tokenize(prompts):
+            toks = tok(list(prompts), padding="max_length",
+                       truncation=True, max_length=t5cfg.text_len,
+                       add_special_tokens=True, return_tensors="np")
+            return (jnp.asarray(toks["input_ids"]),
+                    jnp.asarray(toks["attention_mask"], jnp.float32))
+
     encoders = build_encoders(
-        t5_ckpt=args.t5_ckpt, tokenizer_path=args.tokenizer,
+        t5_ckpt=None if args.train_text_encoder else args.t5_ckpt,
+        tokenizer_path=args.tokenizer,
         clip_ckpt=args.clip_ckpt, text_dim=cfg.text_dim,
-        text_len=cfg.text_len, allow_dummy_text=args.allow_dummy_text,
+        text_len=cfg.text_len,
+        allow_dummy_text=args.allow_dummy_text or args.train_text_encoder,
         weight_dtype=fdt)
 
     videos = sorted(glob.glob(os.path.join(args.data_dir, "videos",
@@ -279,7 +393,9 @@ def main():
     del base_params
     run_training(dit, box, vae, vae_params, encoders.encode_text,
                  prefetch(samples(), depth=4, num_workers=2), args,
-                 encode_clip=encoders.encode_clip)
+                 encode_clip=encoders.encode_clip,
+                 text_encoder=text_encoder, te_params=te_params,
+                 tokenize=tokenize)
 
 
 if __name__ == "__main__":

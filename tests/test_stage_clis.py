@@ -158,6 +158,65 @@ def test_train_vism_cli_loop(tiny_vae, tmp_path, offload):
     assert any("train/loss" in l for l in lines)
 
 
+def test_train_vism_cli_loop_text_encoder_lora(tiny_vae, tmp_path):
+    """--train_text_encoder through the CLI loop: batches carry input_ids,
+    the T5 LoRA tree trains alongside the DiT's, checkpoints round-trip."""
+    from train_vism import run_training
+
+    from more4d_tpu.config import T5Config
+    from more4d_tpu.models.t5 import WanT5Encoder
+
+    vae, vae_params = tiny_vae
+    dcfg = dit_tiny(dtype=jnp.float32, in_dim=12, out_dim=4, dim=32,
+                    ffn_dim=64, num_heads=2, num_layers=2, text_dim=16,
+                    clip_dim=16, text_len=8, motion_guidance=False)
+    dit = WanDiT(dcfg)
+    lt = (T - 1) // 4 + 1
+    base = dit.init(jax.random.PRNGKey(3),
+                    jnp.zeros((1, lt, H // 8, W // 8, 4), jnp.float32),
+                    jnp.zeros((1,), jnp.float32),
+                    jnp.zeros((1, 8, 16), jnp.float32),
+                    y=jnp.zeros((1, lt, H // 8, W // 8, 8), jnp.float32))
+    rs = np.random.RandomState(7)
+    leaves, td = jax.tree_util.tree_flatten(base)
+    base = jax.tree_util.tree_unflatten(
+        td, [jnp.asarray(rs.normal(0, 0.04, l.shape), l.dtype)
+             for l in leaves])
+    t5cfg = T5Config(vocab=32, dim=16, dim_attn=16, dim_ffn=32,
+                     num_heads=2, num_layers=2, text_len=8,
+                     dtype=jnp.float32)
+    t5 = WanT5Encoder(t5cfg)
+    te_params = t5.init(jax.random.PRNGKey(5), jnp.zeros((1, 8), jnp.int32))
+
+    def tokenize(prompts):
+        ids = np.zeros((len(prompts), 8), np.int32)
+        for b, p in enumerate(prompts):
+            for i, w in enumerate(p.split()[:8]):
+                ids[b, i] = hash(w) % 32
+        return jnp.asarray(ids), jnp.ones((len(prompts), 8), jnp.float32)
+
+    args = types.SimpleNamespace(
+        learning_rate=1e-2, lora_rank=2, lora_alpha=2.0,
+        output_dir=str(tmp_path / "te"), max_steps=2,
+        checkpointing_steps=2, log_steps=1, seed=0, resume=False,
+        offload_blocks=False, train_text_encoder=True,
+        lora_skip_name=None)
+
+    def samples():
+        i = 0
+        while True:
+            yield _vism_sample(i)
+            i += 1
+
+    lora = run_training(dit, base, vae, vae_params, None, samples(), args,
+                        text_encoder=t5, te_params=te_params,
+                        tokenize=tokenize)
+    for part in ["dit", "te"]:
+        up_norm = sum(float(jnp.abs(f["up"]).sum())
+                      for f in lora[part]["factors"].values())
+        assert up_norm > 0, f"{part} LoRA never moved"
+
+
 def test_infer_vae_evaluate(tiny_vae, tiny_adaptors, tmp_path, capsys):
     from infer_vae import evaluate
 

@@ -97,6 +97,88 @@ def test_loss_outlier_tracker():
     assert t.should_skip(float("nan"))
 
 
+def test_sd3_loss_weighting_golden():
+    """loss_weighting_sd3 vs a literal torch transcription of diffusers'
+    compute_loss_weighting_for_sd3 (the reference applies it at
+    train_wan.py:1964; diffusers is not installed here, so the
+    transcription is the golden)."""
+    import math
+    import torch
+    from more4d_tpu.train.sampler import loss_weighting_sd3
+
+    def torch_golden(scheme, sigmas):
+        if scheme == "sigma_sqrt":
+            return (sigmas ** -2.0).float()
+        if scheme == "cosmap":
+            bot = 1 - 2 * sigmas + 2 * sigmas ** 2
+            return 2 / (math.pi * bot)
+        return torch.ones_like(sigmas)
+
+    sig = np.random.RandomState(0).uniform(1e-3, 1.0, (16,)).astype(np.float32)
+    for scheme in ["sigma_sqrt", "cosmap", "none", "logit_normal", "mode"]:
+        got = np.asarray(loss_weighting_sd3(scheme, jnp.asarray(sig)))
+        want = torch_golden(scheme, torch.from_numpy(sig)).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_timestep_density_u_distributions():
+    """timestep_density_u matches the diffusers transforms: logit_normal
+    is sigmoid-of-normal (moment check), 'mode' applies the exact
+    deterministic warp to uniform draws (checked by inverting against a
+    numpy transcription on the same quantiles), 'none' is U[0,1)."""
+    from more4d_tpu.train.sampler import timestep_density_u
+
+    n = 50_000
+    u_ln = np.asarray(timestep_density_u(
+        jax.random.PRNGKey(0), "logit_normal", n,
+        logit_mean=0.3, logit_std=0.7))
+    # golden: sigmoid(N(0.3, 0.7)) moments from numpy
+    z = np.random.RandomState(1).normal(0.3, 0.7, n)
+    want = 1 / (1 + np.exp(-z))
+    assert abs(u_ln.mean() - want.mean()) < 5e-3
+    assert abs(u_ln.std() - want.std()) < 5e-3
+    assert 0.0 < u_ln.min() and u_ln.max() < 1.0
+
+    u_mode = np.asarray(timestep_density_u(
+        jax.random.PRNGKey(2), "mode", n, mode_scale=1.29))
+    # the mode warp is deterministic in the underlying uniform draw:
+    # compare quantile curves against the numpy transcription
+    base = np.sort(np.asarray(jax.random.uniform(jax.random.PRNGKey(2),
+                                                 (n,))))
+    warped = 1 - base - 1.29 * (np.cos(np.pi * base / 2) ** 2 - 1 + base)
+    np.testing.assert_allclose(np.sort(u_mode), np.sort(warped), atol=1e-5)
+
+    u_none = np.asarray(timestep_density_u(jax.random.PRNGKey(3), "none", n))
+    assert abs(u_none.mean() - 0.5) < 5e-3
+
+
+@pytest.mark.slow
+def test_straag_step_density_sampling_and_weighting():
+    """--no-uniform_sampling + cosmap: the step runs, the loss is finite,
+    and the cosmap weighting actually changes the loss vs 'none' at the
+    same rng (weighting != ones)."""
+    model, params, cfg = _dit_and_params(in_dim=24)
+    tx = make_adamw(1e-3)
+    opt_state = tx.init(params)
+    rng = np.random.RandomState(0)
+    batch = {
+        "latents": jnp.asarray(rng.randn(2, 3, 8, 8, 4), jnp.float32),
+        "y": jnp.asarray(rng.randn(2, 3, 8, 8, 20), jnp.float32),
+        "context": jnp.asarray(rng.randn(2, 8, 16), jnp.float32),
+    }
+    losses = {}
+    for scheme in ["none", "cosmap"]:
+        tcfg = StraagTrainConfig(abnormal_loss_threshold=1e9,
+                                 uniform_sampling=False,
+                                 weighting_scheme=scheme, use_ema=False)
+        step = make_train_step(model, tx, tcfg)
+        _, _, _, m = step(params, opt_state, None, batch,
+                          jax.random.PRNGKey(7), 10)
+        losses[scheme] = float(m["loss"])
+        assert np.isfinite(losses[scheme])
+    assert losses["none"] != losses["cosmap"]
+
+
 def test_training_schedule_shift():
     s = training_schedule(1000, 5.0)
     assert s.shape == (1000,)
@@ -161,6 +243,97 @@ def test_vism_lora_step_only_touches_lora():
         for a, b in zip(jax.tree_util.tree_leaves(lora["factors"]),
                         jax.tree_util.tree_leaves(lora2["factors"])))
     assert changed
+
+
+def test_create_lora_skip_name():
+    """--lora_skip_name: kernels whose path contains the substring get no
+    LoRA factors (lora_utils.py:205)."""
+    model, params, cfg = _dit_and_params(in_dim=12)
+    full = create_lora(params, jax.random.PRNGKey(0), rank=2)
+    skipped = create_lora(params, jax.random.PRNGKey(0), rank=2,
+                          skip_name="ffn")
+    assert any("ffn" in p for p in full["factors"])
+    assert not any("ffn" in p for p in skipped["factors"])
+    assert 0 < len(skipped["factors"]) < len(full["factors"])
+
+
+@pytest.mark.slow
+def test_vism_step_motion_sub_and_came():
+    """ViSM step with --optimizer came + --motion_sub_loss: runs, loss is
+    finite and differs from the plain-MSE loss at the same rng."""
+    from more4d_tpu.train.optim import came
+
+    model, params, cfg = _dit_and_params(in_dim=12)
+    lora = create_lora(params, jax.random.PRNGKey(2), rank=2)
+    rng = np.random.RandomState(1)
+    batch = {
+        "latents": jnp.asarray(rng.randn(1, 3, 8, 8, 4), jnp.float32),
+        "y": jnp.asarray(rng.randn(1, 3, 8, 8, 8), jnp.float32),
+        "context": jnp.asarray(rng.randn(1, 8, 16), jnp.float32),
+    }
+    tx = came(1e-3)
+    opt_state = tx.init(lora["factors"])
+    losses = {}
+    for ms in [False, True]:
+        tcfg = VismTrainConfig(motion_sub_loss=ms)
+        step = make_vism_train_step(model, tx, tcfg)
+        lora2, _, m = step(lora, opt_state, params, batch,
+                           jax.random.PRNGKey(3))
+        losses[ms] = float(m["loss"])
+        assert np.isfinite(losses[ms])
+        changed = any(
+            float(jnp.abs(a - b).max()) > 0
+            for a, b in zip(jax.tree_util.tree_leaves(lora["factors"]),
+                            jax.tree_util.tree_leaves(lora2["factors"])))
+        assert changed
+    assert losses[False] != losses[True]
+
+
+@pytest.mark.slow
+def test_vism_step_trains_text_encoder_lora():
+    """--train_text_encoder: the umT5 tower is applied inside the loss
+    with its own LoRA; one step moves BOTH factor trees (te 'up' starts
+    zero and becomes nonzero) while both base trees stay frozen."""
+    from more4d_tpu.config import T5Config
+    from more4d_tpu.models.t5 import WanT5Encoder
+    from more4d_tpu.train.train_vism import TE_LORA_TARGETS
+
+    model, params, cfg = _dit_and_params(in_dim=12)
+    t5cfg = T5Config(vocab=64, dim=16, dim_attn=16, dim_ffn=32,
+                     num_heads=2, num_layers=2, text_len=8,
+                     dtype=jnp.float32)
+    t5 = WanT5Encoder(t5cfg)
+    te_params = t5.init(jax.random.PRNGKey(5),
+                        jnp.zeros((1, 8), jnp.int32))
+
+    lora = {"dit": create_lora(params, jax.random.PRNGKey(2), rank=2),
+            "te": create_lora(te_params, jax.random.PRNGKey(3), rank=2,
+                              targets=TE_LORA_TARGETS)}
+    assert lora["te"]["factors"], "TE target regex matched no kernels"
+    tx = optax.adamw(1e-2)
+    opt_state = tx.init({"dit": lora["dit"]["factors"],
+                         "te": lora["te"]["factors"]})
+    tcfg = VismTrainConfig()
+    step = make_vism_train_step(model, tx, tcfg, text_encoder=t5)
+    rng = np.random.RandomState(1)
+    batch = {
+        "latents": jnp.asarray(rng.randn(1, 3, 8, 8, 4), jnp.float32),
+        "y": jnp.asarray(rng.randn(1, 3, 8, 8, 8), jnp.float32),
+        "input_ids": jnp.asarray(rng.randint(0, 64, (1, 8)), jnp.int32),
+        "attention_mask": jnp.ones((1, 8), jnp.float32),
+    }
+    base = {"dit": params, "te": te_params}
+    lora2, _, m = step(lora, opt_state, base, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(m["loss"]))
+    te_up_moved = any(
+        float(jnp.abs(f["up"]).max()) > 0
+        for f in lora2["te"]["factors"].values())
+    assert te_up_moved, "no gradient reached the text-encoder LoRA"
+    dit_moved = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(lora["dit"]["factors"]),
+                        jax.tree_util.tree_leaves(lora2["dit"]["factors"])))
+    assert dit_moved
 
 
 @pytest.mark.slow
