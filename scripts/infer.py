@@ -21,6 +21,7 @@ Example:
 
 import argparse
 import contextlib
+import dataclasses
 import json
 import os
 import sys
@@ -83,6 +84,12 @@ def build_parser():
     p.add_argument("--num_frames", type=int, default=49)
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=6.0)
+    # stage-2-specific sampling knobs (reference --stage2_guidance_scale/
+    # --stage2_num_inference_steps/--stage2_negative_prompt,
+    # infer.py:978-983,1059-1063); None falls back to the stage-1 value
+    p.add_argument("--stage2_guidance_scale", type=float, default=None)
+    p.add_argument("--stage2_num_inference_steps", type=int, default=None)
+    p.add_argument("--stage2_negative_prompt", default=None)
     p.add_argument("--shift", type=float, default=3.0)
     p.add_argument("--sampler", default="flow",
                    choices=["flow", "flow_unipc", "flow_dpm++"])
@@ -314,7 +321,17 @@ def main():
             rel_l1_thresh=args.teacache_threshold,
             num_skip_start_steps=args.num_skip_start_steps)
     ctrl = WanControlPipeline(dit4, vae, pcfg, teacache=teacache)
-    inp = WanInpaintPipeline(dit_inp, vae, pcfg, teacache=teacache)
+    # stage-2 may sample under its own CFG scale / step count
+    # (reference infer.py:982-983)
+    pcfg2 = dataclasses.replace(
+        pcfg,
+        guidance_scale=(args.stage2_guidance_scale
+                        if args.stage2_guidance_scale is not None
+                        else args.guidance_scale),
+        num_inference_steps=(args.stage2_num_inference_steps
+                             if args.stage2_num_inference_steps is not None
+                             else args.num_inference_steps))
+    inp = WanInpaintPipeline(dit_inp, vae, pcfg2, teacache=teacache)
 
     if args.fp8_weights and not args.offload_blocks:
         # fp8 HBM storage, direct cast like the reference
@@ -415,6 +432,10 @@ def main():
                                             stage2_inpaint_dp)
     from more4d_tpu.utils import save_pointcloud_txt, save_videos_grid
 
+    neg2 = (args.stage2_negative_prompt
+            if args.stage2_negative_prompt is not None
+            else args.negative_prompt)
+
     def process_sample(image_path, prompt, sample_rng):
         name = os.path.splitext(os.path.basename(image_path))[0]
         coords_path = os.path.join(args.output_dir, f"{name}_coords.npy")
@@ -475,8 +496,7 @@ def main():
             # fold_in(rng2, 0) = the serial loop's first-chunk rng: the
             # same seed yields the same videos on either branch (matches
             # run_two_stage's sweep_mesh branch)
-            outs = stage2_inpaint_dp(models, renders, prompt,
-                                     args.negative_prompt,
+            outs = stage2_inpaint_dp(models, renders, prompt, neg2,
                                      rng=jax.random.fold_in(rng2, 0),
                                      shared_noise=args.stage2_shared_noise)
             for render, vid in zip(renders, outs):
@@ -488,7 +508,7 @@ def main():
         for c0 in range(0, len(renders), max(args.stage2_batch, 1)):
             chunk = renders[c0:c0 + max(args.stage2_batch, 1)]
             outs = stage2_inpaint_batch(
-                models, chunk, prompt, args.negative_prompt,
+                models, chunk, prompt, neg2,
                 # shared noise must be identical ACROSS chunks too: fixed
                 # chunk rng, one repeated noise row inside
                 rng=(jax.random.fold_in(rng2, 0)

@@ -35,6 +35,20 @@ def parse_args():
     p.add_argument("--height", type=int, default=384)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--learning_rate", type=float, default=5e-6)
+    # optimizer hyperparams + schedule + clip (reference train_vae.py
+    # :383-385,:481,:535-545,:663-668 — its live subset of the
+    # diffusers-style flags)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--lr_scheduler", default="constant",
+                   choices=["constant", "constant_with_warmup", "linear",
+                            "cosine"])
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="reference --gradient_accumulation_steps")
     p.add_argument("--kl_scale", type=float, default=1e-6)
     p.add_argument("--rec_loss", default="l1", choices=["l1", "l2"])
     p.add_argument("--finetune_vae_decoder", action="store_true",
@@ -68,15 +82,35 @@ def run_training(vae, vae_params, enc, enc_params, dec, dec_params,
                                             make_vae_adaptor_train_step)
     from more4d_tpu.utils.metrics import MetricsLogger
 
+    accum = max(getattr(args, "grad_accum_steps", 1), 1)
+    clipn = getattr(args, "max_grad_norm", 1.0)
     tcfg = VAEAdaptorTrainConfig(
         learning_rate=args.learning_rate, kl_scale=args.kl_scale,
-        finetune_decoder=args.finetune_vae_decoder, rec_loss=args.rec_loss)
+        finetune_decoder=args.finetune_vae_decoder, rec_loss=args.rec_loss,
+        # with accumulation the clip must act on the accumulated MEAN
+        # gradient (reference clips at the sync step, train_vae.py:481),
+        # so it moves into the tx chain under MultiSteps
+        max_grad_norm=(1e30 if accum > 1 else clipn))
     trainable = {"enc": enc_params, "dec": dec_params}
     if args.finetune_vae_decoder:
         trainable["vae_decoder"] = {
             "decoder": vae_params["params"]["decoder"],
             "conv2": vae_params["params"]["conv2"]}
-    tx = optax.adamw(args.learning_rate)
+    from more4d_tpu.train.optim import make_lr_schedule
+
+    tx = optax.adamw(
+        make_lr_schedule(args.learning_rate,
+                         getattr(args, "lr_scheduler", "constant"),
+                         getattr(args, "lr_warmup_steps", 0),
+                         max(args.max_steps // accum, 1)),
+        b1=getattr(args, "adam_beta1", 0.9),
+        b2=getattr(args, "adam_beta2", 0.999),
+        eps=getattr(args, "adam_epsilon", 1e-8),
+        weight_decay=getattr(args, "adam_weight_decay", 1e-2))
+    if accum > 1:
+        tx = optax.MultiSteps(
+            optax.chain(optax.clip_by_global_norm(clipn), tx),
+            every_k_schedule=accum)
     opt_state = tx.init(trainable)
     step_fn = jax.jit(make_vae_adaptor_train_step(enc, dec, vae, tx, tcfg))
 

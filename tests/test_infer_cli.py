@@ -110,13 +110,31 @@ def test_infer_cli_end_to_end(tmp_path, ckpt_dir, monkeypatch):
         # --stage2_lora_path, infer.py:622,778)
         "--stage1_lora", str(ckpt_dir / "stage1_lora.pth"),
         "--vism_lora", str(ckpt_dir / "vism_lora.pth"),
+        # stage-2-specific sampling knobs (reference infer.py:978-983)
+        "--stage2_num_inference_steps", "3",
+        "--stage2_guidance_scale", "5.5",
+        "--stage2_negative_prompt", "blurry",
     ]
     monkeypatch.setattr(sys, "argv", argv)
 
     import importlib
 
+    import more4d_tpu.pipelines as pl
+
     infer_cli = importlib.import_module("infer")
+    # spy: stage-2 must sample under its own CFG scale / step count while
+    # stage 1 keeps --num_inference_steps/--guidance_scale
+    seen = {}
+    real_inp = pl.WanInpaintPipeline
+
+    def spy_inp(dit, vae, cfg, **kw):
+        seen["inp_cfg"] = cfg
+        return real_inp(dit, vae, cfg, **kw)
+
+    monkeypatch.setattr(pl, "WanInpaintPipeline", spy_inp)
     infer_cli.main()
+    assert seen["inp_cfg"].num_inference_steps == 3
+    assert seen["inp_cfg"].guidance_scale == 5.5
 
     wrote = sorted(os.listdir(out_dir))
     assert any(f.endswith("_coords.npy") for f in wrote), wrote

@@ -41,7 +41,8 @@ def tiny_adaptors():
             dec, dec.init(jax.random.PRNGKey(2), dummy))
 
 
-def test_train_vae_cli_loop(tiny_vae, tiny_adaptors, tmp_path):
+@pytest.mark.parametrize("accum", [1, 2])
+def test_train_vae_cli_loop(tiny_vae, tiny_adaptors, tmp_path, accum):
     from train_vae import run_training
 
     vae, vae_params = tiny_vae
@@ -49,7 +50,9 @@ def test_train_vae_cli_loop(tiny_vae, tiny_adaptors, tmp_path):
     args = types.SimpleNamespace(
         learning_rate=1e-4, kl_scale=1e-6, finetune_vae_decoder=True,
         rec_loss="l1", output_dir=str(tmp_path / "out"), max_steps=3,
-        checkpointing_steps=3, log_steps=1, seed=0, resume=False)
+        checkpointing_steps=3, log_steps=1, seed=0, resume=False,
+        grad_accum_steps=accum, lr_scheduler="constant_with_warmup",
+        lr_warmup_steps=1, max_grad_norm=1.0)
 
     rs = np.random.RandomState(0)
 
