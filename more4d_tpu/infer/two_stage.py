@@ -79,10 +79,16 @@ def depth_to_image(depth: jnp.ndarray):
 
 def stage1_generate(m: TwoStageModels, image01: np.ndarray, prompt: str,
                     negative_prompt: str = "", depth: Optional[np.ndarray] = None,
-                    rng: Optional[jax.Array] = None, normalize_track_z: bool = False
+                    rng: Optional[jax.Array] = None, normalize_track_z: bool = False,
+                    use_depth: bool = True
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """image01: [H, W, 3] in [0, 1]. Returns (coords [T, H*W, 3] absolute
-    per-frame point clouds, colors [H*W, 3] in [0, 1])."""
+    per-frame point clouds, colors [H*W, 3] in [0, 1]).
+
+    use_depth=False drops the depth-image conditioning channels (48ch
+    ``y``, the reference's --use_depth off / un-adapted 4D DiT,
+    infer.py:558-560); the depth map is still estimated for the
+    back-projection lift (:818-820 runs unconditionally)."""
     pipe = m.control_pipeline
     h, w = pipe.config.height, pipe.config.width
     t_frames = pipe.config.num_frames
@@ -100,8 +106,11 @@ def stage1_generate(m: TwoStageModels, image01: np.ndarray, prompt: str,
     image = jax.image.resize(image, (h, w, 3), "bilinear")
     control_video = jnp.broadcast_to(image[None, None],
                                      (1, t_frames, h, w, 3))
-    depth_img = depth_to_image(depth)
-    depth_img = jax.image.resize(depth_img, (1, 1, h, w, 3), "bilinear")
+    depth_img = None
+    if use_depth:
+        depth_img = depth_to_image(depth)
+        depth_img = jax.image.resize(depth_img, (1, 1, h, w, 3),
+                                     "bilinear")
 
     prompt_embeds = m.encode_text([prompt])
     neg_embeds = m.encode_text([negative_prompt])

@@ -141,6 +141,13 @@ def build_parser():
                         "--stage2_denoise_group")
     # default: the native JAX UniDepth port (no torch in the live path);
     # "unidepth" selects the torch wrapper when that package is installed
+    p.add_argument("--use_depth", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-use_depth runs stage 1 with the un-adapted "
+                        "48ch Control DiT (no depth conditioning "
+                        "channels; reference --use_depth, "
+                        "infer.py:558-560). Depth is still estimated "
+                        "for the point-cloud lift.")
     p.add_argument("--depth_provider", default="unidepth_jax",
                    choices=["unidepth", "unidepth_jax", "precomputed", "constant"])
     p.add_argument("--depth_dir", default=None)
@@ -226,7 +233,8 @@ def main():
     wd = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
     make_dit = {"14b": dit_14b, "1.3b": dit_1_3b,
                 "tiny": dit_tiny}[args.model_size]
-    cfg4 = make_dit(motion_guidance=True, in_dim=64, model_type="i2v",
+    cfg4 = make_dit(motion_guidance=True,
+                    in_dim=64 if args.use_depth else 48, model_type="i2v",
                     dtype=wd, param_dtype=wd)
     cfg_inp = make_dit(motion_guidance=False, in_dim=36, model_type="i2v",
                        dtype=wd, param_dtype=wd)
@@ -447,7 +455,8 @@ def main():
                                np.float32) / 255.0
             coords, colors = stage1_generate(
                 models, image, prompt, args.negative_prompt, rng=rng1,
-                normalize_track_z=args.normalize_track_z)
+                normalize_track_z=args.normalize_track_z,
+                use_depth=args.use_depth)
             np.save(coords_path, coords)
             np.save(colors_path, colors)
             # frame-0 point cloud as txt (infer.py:870-871

@@ -128,6 +128,14 @@ def parse_args():
     p.add_argument("--motion_sub_loss", action="store_true")
     p.add_argument("--control_dropout", type=float, default=0.02)
     p.add_argument("--text_dropout", type=float, default=0.1)
+    p.add_argument("--skip_large_depth",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="drop samples whose depth range exceeds the "
+                        "threshold (reference --skip_large_depth, "
+                        "wan_dataset.py:885-890)")
+    p.add_argument("--max_samples", type=int, default=None,
+                   help="cap the dataset to its first N pkls (reference "
+                        "--max_sample_dataset/--max_train_samples)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--model_size", default="14b", choices=["14b", "1.3b"])
     p.add_argument("--resume", action="store_true")
@@ -135,7 +143,7 @@ def parse_args():
 
 
 def make_batch_iterator(files, prompts, sampler, batch_size, height, width,
-                        num_frames, buckets=None):
+                        num_frames, buckets=None, skip_large_depth=True):
     """Group sceneflow samples into batches.
 
     Default: one fixed canonical shape (the reference's --fix_sample_size
@@ -170,8 +178,9 @@ def make_batch_iterator(files, prompts, sampler, batch_size, height, width,
                         for c in coords])
                     colors = cv2.resize(colors, (bw, bh),
                                         interpolation=cv2.INTER_LINEAR)
-                sample = prepare_straag_sample(coords, colors,
-                                               max_num_frames=num_frames)
+                sample = prepare_straag_sample(
+                    coords, colors, max_num_frames=num_frames,
+                    skip_large_depth=skip_large_depth)
             except Exception as e:  # bad pkl: skip-and-continue (:796-810)
                 print(f"skipping {path}: {e}")
                 continue
@@ -311,6 +320,8 @@ def main():
                                           "*_dt3d_pred.pkl")))
     if not files:
         raise SystemExit(f"no *_dt3d_pred.pkl files in {args.data_dir}")
+    if args.max_samples:
+        files = files[:args.max_samples]
     prompts = {}
     if args.prompts_json:
         with open(args.prompts_json) as f:
@@ -323,7 +334,8 @@ def main():
     sampler = ResumableSampler(len(files), seed=args.seed)
     batches = make_batch_iterator(files, prompts, iter(sampler),
                                   args.batch_size, args.height, args.width,
-                                  args.num_frames, buckets=buckets)
+                                  args.num_frames, buckets=buckets,
+                                  skip_large_depth=args.skip_large_depth)
     from more4d_tpu.data.prefetch import prefetch
 
     trainer.train(prefetch(batches, depth=2, num_workers=2),

@@ -145,6 +145,40 @@ def test_infer_cli_end_to_end(tmp_path, ckpt_dir, monkeypatch):
     assert np.isfinite(coords).all()
 
 
+def test_infer_cli_no_use_depth(tmp_path, ckpt_dir, monkeypatch):
+    """--no-use_depth: stage 1 runs the un-adapted 48ch Control DiT (no
+    depth conditioning channels, reference infer.py:558-560) — the native
+    checkpoint loads without surgery and the pipeline still produces
+    clouds."""
+    from PIL import Image
+
+    img = (np.random.RandomState(3).rand(H, W, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "img.png")
+    out_dir = tmp_path / "out"
+    argv = [
+        "infer.py", "--image", str(tmp_path / "img.png"),
+        "--prompt", "x", "--no-use_depth",
+        "--control_ckpt", str(ckpt_dir / "control.pth"),
+        "--inp_ckpt", str(ckpt_dir / "inp.pth"),
+        "--vae_ckpt", str(ckpt_dir / "vae.pth"),
+        "--decoder_adaptor", str(ckpt_dir / "dec.bin"),
+        "--output_dir", str(out_dir),
+        "--model_size", "tiny", "--adaptor_ch", "64",
+        "--allow_dummy_text",
+        "--height", str(H), "--width", str(W),
+        "--num_frames", str(FRAMES), "--num_inference_steps", "1",
+        "--depth_provider", "constant", "--trajectories", "static",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    import importlib
+
+    infer_cli = importlib.import_module("infer")
+    infer_cli.main()
+    wrote = sorted(os.listdir(out_dir))
+    assert any(f.endswith("_coords.npy") for f in wrote), wrote
+    assert sum(f.endswith(".mp4") for f in wrote) == 1, wrote
+
+
 def test_infer_cli_stage_gating_resume(tmp_path, ckpt_dir, monkeypatch):
     """Reference stage gating (--run_stage1/--run_stage2_complete/
     --only_render, infer.py:1085-1122): a stage-1-only run persists the
