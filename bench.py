@@ -1226,11 +1226,11 @@ def main():
             # numbers and how to reproduce them
             extra["outage_note"] = (
                 "TPU relay unreachable for the entire bench budget "
-                "(jax.devices() hangs; outage first observed 2026-08-17 "
-                "19:15). Prior measured numbers: bench_baseline.json "
-                "(round-1 driver capture) and COVERAGE.md 'Performance' "
-                "table (round-3 manual runs; reproduce with "
-                "`python bench.py` once the relay responds).")
+                "(jax.devices() hangs). Prior measured numbers: "
+                "bench_baseline.json (round-1 driver capture) and "
+                "COVERAGE.md 'Performance' table (manual runs; "
+                "reproduce with `python bench.py` once the relay "
+                "responds).")
             # fall through: every leg is skipped by its floor check
 
     for key, env_gate, floor_s, *cap in _DEFAULT_RUN:

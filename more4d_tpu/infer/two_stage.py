@@ -166,7 +166,11 @@ def render_trajectories(coords: np.ndarray, colors: np.ndarray,
     serial loop on memory pressure."""
     trajectory_types = trajectory_types or TRAJECTORY_TYPES
     t = coords.shape[0]
-    center = coords.reshape(-1, 3).mean(axis=0)
+    # center from the FIRST frame's cloud only (the reference dispatcher:
+    # first_frame_coords = coords_data[0], infer.py render_trajectory) —
+    # the depth-proportional radii scale off center[2], and an all-frame
+    # mean would drift the sweep amplitude on dynamic scenes
+    center = coords[0].reshape(-1, 3).mean(axis=0)
     intr = get_intrinsic_matrix(height, width)
     # names carry the CANONICAL sweep index (a subset run of trajectory
     # 3 writes circle_rotating_3, matching the full-sweep filename, not
@@ -415,9 +419,14 @@ def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
                   rng: Optional[jax.Array] = None,
                   stage2_batch: int = 1,
                   stage2_denoise_group: Optional[int] = None,
-                  sweep_mesh=None, stage2_shared_noise: bool = False):
+                  sweep_mesh=None, stage2_shared_noise: bool = True):
     """Single image -> list of inpainted novel-view videos (one per camera
     trajectory), plus the stage-1 point clouds.
+
+    stage2_shared_noise (default True, matching the CLI and the
+    reference's per-trajectory manual_seed(seed+1) re-seed,
+    infer.py:957-959): every trajectory inpaints from the same initial
+    noise; False draws independent noise per trajectory.
 
     ``stage2_batch``: how many trajectories to inpaint per batched
     pipeline call (the VAE encode batches across the whole group).

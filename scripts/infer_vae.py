@@ -37,6 +37,14 @@ def parse_args():
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--max_samples", type=int, default=16)
     p.add_argument("--save_videos", action="store_true")
+    p.add_argument("--render_type", default="project",
+                   choices=["project", "3dgs", "both"],
+                   help="roundtrip-video renderer: z-buffer projection "
+                        "and/or the Pallas 3DGS rasteriser (reference "
+                        "--render_type, infer_vae.py)")
+    p.add_argument("--gs_scale", type=float, default=1e-4,
+                   help="isotropic gaussian scale for the 3dgs render "
+                        "(reference sigma, infer.py:261)")
     return p.parse_args()
 
 

@@ -325,9 +325,12 @@ def main():
 
         t5cfg = T5Config()
         text_encoder = WanT5Encoder(t5cfg)
-        te_params = convert_t5_state_dict(
+        # the BASE tower is frozen (only its LoRA factors train): store it
+        # at --frozen_dtype like every other frozen tower — umT5-xxl fp32
+        # would not fit a 16 GiB chip
+        te_params = cast_float_leaves(convert_t5_state_dict(
             torch.load(args.t5_ckpt, map_location="cpu",
-                       weights_only=True), t5cfg)
+                       weights_only=True), t5cfg), fdt)
         tok = AutoTokenizer.from_pretrained(args.tokenizer)
 
         def tokenize(prompts):

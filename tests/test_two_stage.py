@@ -42,6 +42,33 @@ def test_batched_render_matches_serial():
         np.testing.assert_array_equal(b["mask"], s["mask"])
 
 
+def test_render_trajectories_center_is_frame0(monkeypatch):
+    """The sweep center comes from the FIRST frame's cloud only (the
+    reference dispatcher: coords_data[0].mean, infer.py render_trajectory)
+    — the depth-proportional radii scale off center[2], so an all-frame
+    mean would drift the camera amplitude on dynamic scenes."""
+    import more4d_tpu.infer.two_stage as ts
+
+    rs = np.random.RandomState(0)
+    coords = rs.rand(3, 64, 3).astype(np.float32)
+    coords[0, :, 2] = 2.0     # frame-0 depth ~2
+    coords[1:, :, 2] = 200.0  # later frames drift far away
+    colors = rs.rand(64, 3).astype(np.float32)
+
+    seen = {}
+    real = ts.generate_trajectory
+
+    def spy(name, center, n, **kw):
+        seen["center"] = np.asarray(center)
+        return real(name, center, n, **kw)
+
+    monkeypatch.setattr(ts, "generate_trajectory", spy)
+    ts.render_trajectories(coords, colors, H, W, [("static", {})],
+                           batched=False)
+    np.testing.assert_allclose(seen["center"],
+                               coords[0].mean(axis=0), rtol=1e-6)
+
+
 def test_two_stage_end_to_end():
     vcfg = VAEConfig(dim=4, z_dim=4, dim_mult=(1, 1, 2, 2),
                      num_res_blocks=1,
