@@ -139,6 +139,20 @@ def prepare_vism_batch(sample, vae, vae_params, encode_text, encode_clip,
     return batch
 
 
+def load_vism_video(path, num_frames, size):
+    """Original-clip frames with the reference's sampling: the same
+    stride-2-beyond-budget rule + last-frame padding as the prerendered
+    videos (wan_dataset.py:606-609 reuses _load_video_frames), so original
+    frame i pairs with render frame i — a contiguous first-N read would
+    misalign long clips."""
+    from more4d_tpu.data.vism import pad_frames, sample_frame_indices
+    from more4d_tpu.utils.artifacts import read_video_frames
+
+    video = read_video_frames(path, size=size)
+    return pad_frames(video[sample_frame_indices(video.shape[0],
+                                                 num_frames)], num_frames)
+
+
 def run_training(dit, base_params, vae, vae_params, encode_text,
                  sample_iter, args, encode_clip=None,
                  text_encoder=None, te_params=None, tokenize=None):
@@ -297,7 +311,6 @@ def main():
     from more4d_tpu.infer.encoders import build_encoders
     from more4d_tpu.models import WanDiT
     from more4d_tpu.models.wan_vae import WanVAE
-    from more4d_tpu.utils.artifacts import read_video_frames
 
     make_dit = dit_14b if args.model_size == "14b" else dit_1_3b
     cfg = make_dit(motion_guidance=False, in_dim=36, model_type="i2v",
@@ -365,8 +378,8 @@ def main():
             path = videos[int(rng.randint(len(videos)))]
             name = os.path.splitext(os.path.basename(path))[0]
             try:
-                video = read_video_frames(path, args.num_frames,
-                                          (args.height, args.width))
+                video = load_vism_video(path, args.num_frames,
+                                        (args.height, args.width))
                 if args.use_3dgs:
                     render, mask = load_prerendered(
                         path, args.num_frames, (args.height, args.width))

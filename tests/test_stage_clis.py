@@ -161,6 +161,35 @@ def test_train_vism_cli_loop(tiny_vae, tmp_path, offload):
     assert any("train/loss" in l for l in lines)
 
 
+def test_load_vism_video_stride2_alignment(tmp_path):
+    """Original-clip frames must follow the SAME stride-2-beyond-budget
+    sampling as the prerendered renders (wan_dataset.py:606-609 reuses
+    _load_video_frames) — a contiguous first-N read would pair original
+    frame i with render frame 2i on long clips."""
+    from train_vism import load_vism_video
+
+    from more4d_tpu.utils.artifacts import save_videos_grid
+
+    # 12 distinguishable frames (constant intensity i*20)
+    src = np.stack([np.full((H, W, 3), i * 20, np.uint8)
+                    for i in range(12)])
+    path = str(tmp_path / "clip.mp4")
+    save_videos_grid(path, src[None], fps=8)
+
+    out = load_vism_video(path, 5, (H, W))
+    assert out.shape == (5, H, W, 3)
+    # stride-2 picks source frames 0,2,4,6,8 (codec-lossy: wide tolerance)
+    want = np.asarray([0, 2, 4, 6, 8]) * 20 / 255.0
+    got = out.mean(axis=(1, 2, 3))
+    np.testing.assert_allclose(got, want, atol=0.04)
+
+    # short clip: all frames + last-frame padding
+    out2 = load_vism_video(path, 16, (H, W))
+    assert out2.shape == (16, H, W, 3)
+    np.testing.assert_allclose(out2[12:].mean(axis=(1, 2, 3)),
+                               [11 * 20 / 255.0] * 4, atol=0.04)
+
+
 def test_train_vism_cli_loop_text_encoder_lora(tiny_vae, tmp_path):
     """--train_text_encoder through the CLI loop: batches carry input_ids,
     the T5 LoRA tree trains alongside the DiT's, checkpoints round-trip."""
