@@ -142,6 +142,7 @@ def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,
                     lambda v, m: v if m else jax.lax.stop_gradient(v),
                     p, mask_tree)
             pred = dit.apply(p, zt, t, batch["context"], y=batch["y"],
+                             y_camera=batch.get("y_camera"),
                              clip_fea=batch.get("clip_fea"),
                              mpm_features=batch.get("mpm_features"))
             loss = custom_mse_loss(pred, target, weighting=loss_weight,

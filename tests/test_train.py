@@ -245,6 +245,50 @@ def test_vism_lora_step_only_touches_lora():
     assert changed
 
 
+@pytest.mark.slow
+def test_straag_step_camera_conditioning():
+    """control_camera_ref training (train_wan.py:1651-1671,1940-1950): a
+    batch carrying folded Plücker maps as 'y_camera' reaches the DiT's
+    control adapter — the step runs and the camera input affects the
+    loss."""
+    from more4d_tpu.config import dit_tiny
+    from more4d_tpu.models import WanDiT
+
+    cfg = dit_tiny(dtype=jnp.float32, control_adapter=True, text_len=8,
+                   in_dim=24, out_dim=4, dim=32, ffn_dim=64, num_heads=2,
+                   num_layers=2, text_dim=16, clip_dim=16)
+    model = WanDiT(cfg)
+    rs = np.random.RandomState(0)
+    x = jnp.zeros((1, 3, 8, 8, 4), jnp.float32)
+    y = jnp.zeros((1, 3, 8, 8, 20), jnp.float32)
+    cam = jnp.asarray(rs.randn(1, 3, 8, 8, 24), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x,
+                        jnp.zeros((1,), jnp.float32),
+                        jnp.zeros((1, 8, 16), jnp.float32), y=y,
+                        y_camera=cam)
+    leaves, td = jax.tree_util.tree_flatten(params)
+    params = jax.tree_util.tree_unflatten(
+        td, [jnp.asarray(rs.normal(0, 0.04, l.shape), l.dtype)
+             for l in leaves])
+    tx = make_adamw(1e-3)
+    opt_state = tx.init(params)
+    tcfg = StraagTrainConfig(abnormal_loss_threshold=1e9, use_ema=False)
+    step = make_train_step(model, tx, tcfg)
+    batch = {
+        "latents": jnp.asarray(rs.randn(2, 3, 8, 8, 4), jnp.float32),
+        "y": jnp.asarray(rs.randn(2, 3, 8, 8, 20), jnp.float32),
+        "context": jnp.asarray(rs.randn(2, 8, 16), jnp.float32),
+        "y_camera": jnp.asarray(rs.randn(2, 3, 8, 8, 24), jnp.float32),
+    }
+    _, _, _, m1 = step(params, opt_state, None, batch,
+                       jax.random.PRNGKey(1), 0)
+    assert np.isfinite(float(m1["loss"]))
+    batch2 = dict(batch, y_camera=batch["y_camera"] * 0 + 1)
+    _, _, _, m2 = step(params, opt_state, None, batch2,
+                       jax.random.PRNGKey(1), 0)
+    assert float(m1["loss"]) != float(m2["loss"])
+
+
 def test_create_lora_skip_name():
     """--lora_skip_name: kernels whose path contains the substring get no
     LoRA factors (lora_utils.py:205)."""
