@@ -67,6 +67,35 @@ def convert_kohya_lora(sd, cfg: DiTConfig, prefix: str = "lora_unet_"):
 
 
 def load_vism_lora(path: str, cfg: DiTConfig):
+    """Load a LoRA for merge: either a reference kohya checkpoint
+    (.safetensors / torch .pth, lora_utils.py key layout) or a directory
+    written by OUR trainers' orbax CheckpointManager (scripts/train_vism.py)
+    — the factor tree restores as-is, so train-here -> infer-here needs no
+    format conversion."""
+    import os
+
+    if os.path.isdir(path):
+        import jax
+        import numpy as np
+
+        from ..train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(path)
+        lora = mgr.restore_params()
+        mgr.close()
+        if "dit" in lora and "te" in lora:
+            # --train_text_encoder run: the DiT factors merge here; the
+            # text-encoder factors would need the raw T5 tower (the infer
+            # CLI uses the frozen encode_text closure)
+            print("NOTE: checkpoint carries text-encoder LoRA factors; "
+                  "only the DiT factors are merged at inference")
+            lora = lora["dit"]
+        rank = lora["rank"]
+        alpha = lora["alpha"]
+        return {"rank": int(np.asarray(rank)),
+                "alpha": float(np.asarray(alpha)),
+                "factors": jax.tree_util.tree_map(np.asarray,
+                                                  lora["factors"])}
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 

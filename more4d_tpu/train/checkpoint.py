@@ -59,5 +59,17 @@ class CheckpointManager:
         out = self._mgr.restore(step, args=ocp.args.Composite(**items))
         return dict(out)
 
+    def restore_params(self, step: Optional[int] = None):
+        """Template-free restore of the 'params' tree (for consumers that
+        don't know the saved structure, e.g. the infer CLI loading a LoRA
+        checkpoint produced by the trainers)."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"no checkpoints under {self.directory}")
+        out = self._mgr.restore(
+            step, args=ocp.args.Composite(params=ocp.args.StandardRestore()))
+        return dict(out)["params"]
+
     def close(self):
         self._mgr.close()

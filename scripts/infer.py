@@ -72,7 +72,9 @@ def build_parser():
     p.add_argument("--clip_ckpt", default=None)
     p.add_argument("--omnimae_ckpt", default=None)
     p.add_argument("--decoder_adaptor", required=True)
-    p.add_argument("--vism_lora", default=None)
+    p.add_argument("--vism_lora", default=None,
+                   help="kohya .safetensors/.pth OR an orbax checkpoint "
+                        "dir written by scripts/train_vism.py")
     p.add_argument("--lora_weight", type=float, default=0.55)
     # stage-1 LoRA merged into the Control DiT (reference --lora_path,
     # infer.py:622-623,1024,1064; same kohya format as the ViSM LoRA)

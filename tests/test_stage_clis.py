@@ -161,6 +161,58 @@ def test_train_vism_cli_loop(tiny_vae, tmp_path, offload):
     assert any("train/loss" in l for l in lines)
 
 
+def test_trained_lora_loads_into_infer(tiny_vae, tmp_path):
+    """Round trip train-here -> infer-here: the orbax LoRA checkpoint a
+    trainer run writes loads through load_vism_lora (the infer CLI's
+    --vism_lora/--stage1_lora loader) and merges into the base params."""
+    from train_vism import run_training
+
+    from more4d_tpu.convert.lora_torch import load_vism_lora
+    from more4d_tpu.train.lora import apply_lora
+
+    vae, vae_params = tiny_vae
+    dcfg = dit_tiny(dtype=jnp.float32, in_dim=12, out_dim=4, dim=32,
+                    ffn_dim=64, num_heads=2, num_layers=2, text_dim=16,
+                    clip_dim=16, text_len=8, motion_guidance=False)
+    dit = WanDiT(dcfg)
+    lt = (T - 1) // 4 + 1
+    base = dit.init(jax.random.PRNGKey(3),
+                    jnp.zeros((1, lt, H // 8, W // 8, 4), jnp.float32),
+                    jnp.zeros((1,), jnp.float32),
+                    jnp.zeros((1, 8, 16), jnp.float32),
+                    y=jnp.zeros((1, lt, H // 8, W // 8, 8), jnp.float32))
+    rs = np.random.RandomState(7)
+    leaves, td = jax.tree_util.tree_flatten(base)
+    base = jax.tree_util.tree_unflatten(
+        td, [jnp.asarray(rs.normal(0, 0.04, l.shape), l.dtype)
+             for l in leaves])
+    out_dir = str(tmp_path / "lora_ckpt")
+    args = types.SimpleNamespace(
+        learning_rate=1e-2, lora_rank=2, lora_alpha=2.0,
+        output_dir=out_dir, max_steps=2, checkpointing_steps=2,
+        log_steps=1, seed=0, resume=False, offload_blocks=False)
+
+    def samples():
+        i = 0
+        while True:
+            yield _vism_sample(i)
+            i += 1
+
+    trained = run_training(dit, base, vae, vae_params,
+                           _text_encoder(16, 8), samples(), args)
+
+    loaded = load_vism_lora(out_dir, dcfg)
+    assert loaded["rank"] == 2 and loaded["alpha"] == 2.0
+    for k, f in trained["factors"].items():
+        np.testing.assert_allclose(np.asarray(f["up"]),
+                                   loaded["factors"][k]["up"], rtol=1e-6)
+    merged = apply_lora(base, loaded)
+    moved = any(float(jnp.abs(a - b).max()) > 0
+                for a, b in zip(jax.tree_util.tree_leaves(base),
+                                jax.tree_util.tree_leaves(merged)))
+    assert moved
+
+
 def test_load_vism_video_stride2_alignment(tmp_path):
     """Original-clip frames must follow the SAME stride-2-beyond-budget
     sampling as the prerendered renders (wan_dataset.py:606-609 reuses
