@@ -196,6 +196,17 @@ def load_wan_dit(path: str, cfg: DiTConfig):
 
         files = sorted(glob.glob(os.path.join(
             path, "diffusion_pytorch_model*.safetensors")))
+        if not files and glob.glob(os.path.join(path, "*", "params")):
+            # an orbax checkpoint dir written by OUR trainers
+            # (train/checkpoint.py CheckpointManager): the params tree is
+            # already in this framework's layout — restore it directly so
+            # a fine-tune here feeds inference here without conversion
+            from ..train.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(path)
+            params = mgr.restore_params()
+            mgr.close()
+            return params
         from safetensors import safe_open
 
         # shard reads are I/O-bound and release the GIL — reading the

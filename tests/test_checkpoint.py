@@ -26,6 +26,36 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_load_wan_dit_accepts_orbax_dir(tmp_path):
+    """A fine-tune checkpoint written by OUR trainers (orbax dir) loads
+    straight through load_wan_dit — the infer CLI's --control_ckpt/
+    --inp_ckpt path — with no torch conversion."""
+    import jax
+
+    from more4d_tpu.config import dit_tiny
+    from more4d_tpu.convert.dit_torch import load_wan_dit
+    from more4d_tpu.models import WanDiT
+
+    cfg = dit_tiny(dtype=jnp.float32, in_dim=12, out_dim=4, dim=32,
+                   ffn_dim=64, num_heads=2, num_layers=2, text_dim=16,
+                   clip_dim=16, text_len=8, motion_guidance=False)
+    dit = WanDiT(cfg)
+    params = dit.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 2, 4, 4, 4), jnp.float32),
+                      jnp.zeros((1,), jnp.float32),
+                      jnp.zeros((1, 8, 16), jnp.float32),
+                      y=jnp.zeros((1, 2, 4, 4, 8), jnp.float32))
+    d = str(tmp_path / "finetune")
+    mgr = CheckpointManager(d)
+    mgr.save(100, params, extra={"global_step": 100})
+    mgr.close()
+
+    loaded = load_wan_dit(d, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_rotation(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
     for s in (1, 2, 3):
