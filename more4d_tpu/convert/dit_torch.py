@@ -186,8 +186,13 @@ def convert_dit_state_dict(sd, cfg: DiTConfig, seed: int = 0):
     return {"params": params}
 
 
-def load_wan_dit(path: str, cfg: DiTConfig):
-    """Load a Wan2.1-Fun transformer checkpoint directory or file."""
+def load_wan_dit(path: str, cfg: DiTConfig, prefer_ema: bool = False):
+    """Load a Wan2.1-Fun transformer checkpoint directory or file.
+
+    prefer_ema (orbax dirs only): restore the EMA weights the trainer
+    saved alongside the raw params (the reference samples its validation
+    from the EMA dir, train_wan.py:1007-1017); falls back to params when
+    the checkpoint carries no EMA tree."""
     import os
 
     if os.path.isdir(path):
@@ -204,9 +209,16 @@ def load_wan_dit(path: str, cfg: DiTConfig):
             from ..train.checkpoint import CheckpointManager
 
             mgr = CheckpointManager(path)
-            params = mgr.restore_params()
-            mgr.close()
-            return params
+            try:
+                if prefer_ema:
+                    try:
+                        return mgr.restore_params(item="ema")
+                    except Exception:
+                        print(f"NOTE: no EMA tree in {path}; "
+                              "loading raw params")
+                return mgr.restore_params()
+            finally:
+                mgr.close()
         from safetensors import safe_open
 
         # shard reads are I/O-bound and release the GIL — reading the

@@ -91,6 +91,28 @@ class VAEDecoderAdaptor(nn.Module):
         return h.reshape(b, t, hh, ww, self.out_channels)
 
 
+def load_adaptor(path: str, decoder: bool):
+    """Adaptor params from either a reference torch .bin/.pth or an orbax
+    checkpoint dir written by scripts/train_vae.py (its 'params' tree is
+    {'enc', 'dec', optional 'vae_decoder'}) — train-here feeds infer-here
+    without conversion. Returns (params, vae_decoder_or_None); the second
+    element carries the fine-tuned VAE decoder/conv2 subtree when the
+    checkpoint has one, for callers that patch the base VAE."""
+    import os
+
+    if os.path.isdir(path):
+        from ..train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(path)
+        tree = mgr.restore_params()
+        mgr.close()
+        return tree["dec" if decoder else "enc"], tree.get("vae_decoder")
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_adaptor_state_dict(sd, decoder=decoder), None
+
+
 def convert_adaptor_state_dict(sd, decoder: bool):
     """Torch state dict -> flax params for either adaptor."""
     import numpy as np

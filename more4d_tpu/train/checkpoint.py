@@ -59,17 +59,21 @@ class CheckpointManager:
         out = self._mgr.restore(step, args=ocp.args.Composite(**items))
         return dict(out)
 
-    def restore_params(self, step: Optional[int] = None):
-        """Template-free restore of the 'params' tree (for consumers that
+    def restore_params(self, step: Optional[int] = None,
+                       item: str = "params"):
+        """Template-free restore of one saved tree (for consumers that
         don't know the saved structure, e.g. the infer CLI loading a LoRA
-        checkpoint produced by the trainers)."""
+        or fine-tune checkpoint produced by the trainers). item='ema'
+        picks the EMA weights when the trainer saved them (the
+        reference's EMA dir, train_wan.py:1007-1017)."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(
                 f"no checkpoints under {self.directory}")
         out = self._mgr.restore(
-            step, args=ocp.args.Composite(params=ocp.args.StandardRestore()))
-        return dict(out)["params"]
+            step,
+            args=ocp.args.Composite(**{item: ocp.args.StandardRestore()}))
+        return dict(out)[item]
 
     def close(self):
         self._mgr.close()

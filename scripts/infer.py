@@ -80,6 +80,11 @@ def build_parser():
     # infer.py:622-623,1024,1064; same kohya format as the ViSM LoRA)
     p.add_argument("--stage1_lora", default=None)
     p.add_argument("--stage1_lora_weight", type=float, default=0.55)
+    p.add_argument("--use_ema_params", action="store_true",
+                   help="when a checkpoint is one of OUR trainers' orbax "
+                        "dirs, load its EMA weights instead of the raw "
+                        "params (reference validation samples from the "
+                        "EMA dir, train_wan.py:1007-1017)")
     p.add_argument("--output_dir", default="out")
     p.add_argument("--height", type=int, default=368)
     p.add_argument("--width", type=int, default=512)
@@ -220,8 +225,7 @@ def main():
     from more4d_tpu.convert.vae_torch import load_wan_vae
     from more4d_tpu.infer import TwoStageModels
     from more4d_tpu.models import WanDiT
-    from more4d_tpu.models.adaptors import (VAEDecoderAdaptor,
-                                            convert_adaptor_state_dict)
+    from more4d_tpu.models.adaptors import VAEDecoderAdaptor, load_adaptor
     from more4d_tpu.models.depth import get_depth_provider
     from more4d_tpu.models.wan_vae import WanVAE
     from more4d_tpu.pipelines import (TeaCacheConfig, TEACACHE_COEFFICIENTS,
@@ -262,8 +266,11 @@ def main():
         raise SystemExit("--prompt is required with --image")
 
     print("loading checkpoints ...")
-    p4 = load_wan_dit(args.control_ckpt, cfg4) if args.run_stage1 else None
-    p_inp = (load_wan_dit(args.inp_ckpt, cfg_inp)
+    p4 = (load_wan_dit(args.control_ckpt, cfg4,
+                       prefer_ema=args.use_ema_params)
+          if args.run_stage1 else None)
+    p_inp = (load_wan_dit(args.inp_ckpt, cfg_inp,
+                          prefer_ema=args.use_ema_params)
              if args.run_stage2_complete else None)
     if args.vism_lora and p_inp is not None:
         # reference merges the ViSM LoRA at weight 0.55 (infer.py:1031)
@@ -290,7 +297,6 @@ def main():
                  if p_inp is not None else None)
         vae_params = cast_float_leaves(vae_params, wd)
 
-    import torch
 
     from more4d_tpu.infer.encoders import build_encoders
 
@@ -302,9 +308,17 @@ def main():
         weight_dtype=None if wd == jnp.float32 else wd)
 
     dec = VAEDecoderAdaptor(ch=args.adaptor_ch)
-    dec_params = convert_adaptor_state_dict(
-        torch.load(args.decoder_adaptor, map_location="cpu",
-                   weights_only=True), decoder=True)
+    dec_params, vae_ft = load_adaptor(args.decoder_adaptor, decoder=True)
+    if vae_ft is not None:
+        # the adaptor checkpoint carries a fine-tuned VAE decoder
+        # (train_vae.py --finetune_vae_decoder): patch the base VAE,
+        # matching the tower storage dtype
+        from more4d_tpu.utils import cast_float_leaves
+
+        vae_params = {"params": {
+            **vae_params["params"],
+            "decoder": cast_float_leaves(vae_ft["decoder"], wd),
+            "conv2": cast_float_leaves(vae_ft["conv2"], wd)}}
 
     if args.fsdp or args.sp > 1:
         from more4d_tpu.parallel import (MeshConfig, create_mesh, set_mesh,

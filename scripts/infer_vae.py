@@ -158,7 +158,6 @@ def build_render_fn(args):
 def main():
     args = parse_args()
     import jax.numpy as jnp
-    import torch
 
     from more4d_tpu.config import VAEConfig
     from more4d_tpu.convert.vae_torch import load_wan_vae
@@ -166,18 +165,19 @@ def main():
                                           normalize_vae_target)
     from more4d_tpu.models.adaptors import (VAEDecoderAdaptor,
                                             VAEEncoderAdaptor,
-                                            convert_adaptor_state_dict)
+                                            load_adaptor)
     from more4d_tpu.models.wan_vae import WanVAE
 
     vae = WanVAE(VAEConfig())
     vae_params = load_wan_vae(args.vae_ckpt)
     enc, dec = VAEEncoderAdaptor(), VAEDecoderAdaptor()
-    enc_params = convert_adaptor_state_dict(
-        torch.load(args.encoder_adaptor, map_location="cpu",
-                   weights_only=True), decoder=False)
-    dec_params = convert_adaptor_state_dict(
-        torch.load(args.decoder_adaptor, map_location="cpu",
-                   weights_only=True), decoder=True)
+    enc_params, _ = load_adaptor(args.encoder_adaptor, decoder=False)
+    dec_params, vae_ft = load_adaptor(args.decoder_adaptor, decoder=True)
+    if vae_ft is not None:
+        # fine-tuned VAE decoder from train_vae.py --finetune_vae_decoder
+        vae_params = {"params": {**vae_params["params"],
+                                 "decoder": vae_ft["decoder"],
+                                 "conv2": vae_ft["conv2"]}}
 
     ds = VAEFlowDataset(args.video_list, args.posfix, args.data_root,
                         args.height, args.width, args.num_frames)

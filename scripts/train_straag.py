@@ -209,8 +209,7 @@ def main():
     from more4d_tpu.data import ResumableSampler
     from more4d_tpu.infer.encoders import build_encoders
     from more4d_tpu.models import WanDiT
-    from more4d_tpu.models.adaptors import (VAEEncoderAdaptor,
-                                            convert_adaptor_state_dict)
+    from more4d_tpu.models.adaptors import VAEEncoderAdaptor, load_adaptor
     from more4d_tpu.models.wan_vae import WanVAE
     from more4d_tpu.parallel import create_mesh, parse_mesh_spec
     from more4d_tpu.pipelines import WanControlPipeline
@@ -226,16 +225,13 @@ def main():
     dit = WanDiT(cfg)
     vae = WanVAE(VAEConfig(dtype=fdt or jnp.float32))
 
-    import torch
 
     from more4d_tpu.utils import cast_float_leaves
 
     params = load_wan_dit(args.pretrained_ckpt, cfg)
     vae_params = cast_float_leaves(load_wan_vae(args.vae_ckpt), fdt)
     enc = VAEEncoderAdaptor()
-    enc_params = convert_adaptor_state_dict(
-        torch.load(args.encoder_adaptor, map_location="cpu",
-                   weights_only=True), decoder=False)
+    enc_params, _ = load_adaptor(args.encoder_adaptor, decoder=False)
 
     encoders = build_encoders(
         t5_ckpt=args.t5_ckpt, tokenizer_path=args.tokenizer,

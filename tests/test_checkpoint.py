@@ -45,15 +45,33 @@ def test_load_wan_dit_accepts_orbax_dir(tmp_path):
                       jnp.zeros((1,), jnp.float32),
                       jnp.zeros((1, 8, 16), jnp.float32),
                       y=jnp.zeros((1, 2, 4, 4, 8), jnp.float32))
+    ema = jax.tree_util.tree_map(lambda x: x + 1.0, params)
     d = str(tmp_path / "finetune")
     mgr = CheckpointManager(d)
-    mgr.save(100, params, extra={"global_step": 100})
+    mgr.save(100, params, ema=ema, extra={"global_step": 100})
     mgr.close()
 
     loaded = load_wan_dit(d, cfg)
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # --use_ema_params: the EMA tree loads instead (reference validation
+    # samples from the EMA dir, train_wan.py:1007-1017)
+    loaded_ema = load_wan_dit(d, cfg, prefer_ema=True)
+    for a, b in zip(jax.tree_util.tree_leaves(ema),
+                    jax.tree_util.tree_leaves(loaded_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # prefer_ema on an EMA-less checkpoint falls back to params
+    d2 = str(tmp_path / "no_ema")
+    mgr = CheckpointManager(d2)
+    mgr.save(5, params)
+    mgr.close()
+    loaded2 = load_wan_dit(d2, cfg, prefer_ema=True)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(loaded2)[0]),
+        np.asarray(jax.tree_util.tree_leaves(params)[0]))
 
 
 def test_checkpoint_rotation(tmp_path):

@@ -72,6 +72,19 @@ def test_train_vae_cli_loop(tiny_vae, tiny_adaptors, tmp_path, accum):
     assert mgr.latest_step() == 3
     mgr.close()
 
+    # round trip: the orbax dir feeds the infer CLIs' adaptor loader
+    # directly, incl. the fine-tuned VAE decoder subtree
+    from more4d_tpu.models.adaptors import load_adaptor
+
+    dec_loaded, vae_ft = load_adaptor(args.output_dir, decoder=True)
+    assert vae_ft is not None and "decoder" in vae_ft
+    for a, b in zip(jax.tree_util.tree_leaves(trainable["dec"]),
+                    jax.tree_util.tree_leaves(dec_loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    enc_loaded, _ = load_adaptor(args.output_dir, decoder=False)
+    assert jax.tree_util.tree_structure(enc_loaded) \
+        == jax.tree_util.tree_structure(trainable["enc"])
+
 
 def _vism_sample(seed=0, keep=1.0):
     rs = np.random.RandomState(seed)
