@@ -66,6 +66,53 @@ def convert_kohya_lora(sd, cfg: DiTConfig, prefix: str = "lora_unet_"):
     return {"rank": rank or 4, "alpha": alpha, "factors": factors}
 
 
+def export_kohya_lora(lora, prefix: str = "lora_unet_"):
+    """Inverse of convert_kohya_lora: our LoRA factor tree -> a kohya-named
+    numpy state dict (``lora_down.weight`` [r, in] / ``lora_up.weight``
+    [out, r] / ``alpha``), loadable by the reference's merge_lora
+    (lora_utils.py:368) — LoRA trained HERE ships back to the torch
+    ecosystem. Round-trip exact: convert_kohya_lora(export_kohya_lora(x))
+    == x (tested)."""
+
+    def kohya_module(path: str) -> str:
+        # params/blocks/block/self_attn/q/kernel -> self_attn_q;
+        # .../ffn/fc1/kernel -> ffn_0 ; fc2 -> ffn_2
+        inner = path.split("blocks/block/")[-1] if "blocks/block/" in path \
+            else re.sub(r"^params/blocks_\d+/", "", path)
+        inner = inner[:-len("/kernel")]
+        inner = inner.replace("ffn/fc1", "ffn_0").replace("ffn/fc2",
+                                                          "ffn_2")
+        return inner.replace("/", "_")
+
+    alpha = float(np.asarray(lora["alpha"]))
+    sd = {}
+    for path, f in lora["factors"].items():
+        down = np.asarray(f["down"], np.float32)
+        up = np.asarray(f["up"], np.float32)
+        mod = kohya_module(path)
+        if down.ndim == 3:          # scanned stack [L, in, r]
+            for i in range(down.shape[0]):
+                base = f"{prefix}blocks_{i}_{mod}"
+                sd[base + ".lora_down.weight"] = down[i].T
+                sd[base + ".lora_up.weight"] = up[i].T
+                sd[base + ".alpha"] = np.float32(alpha)
+        else:
+            m = re.match(r"^params/blocks_(\d+)/", path)
+            i = int(m.group(1)) if m else 0
+            base = f"{prefix}blocks_{i}_{mod}"
+            sd[base + ".lora_down.weight"] = down.T
+            sd[base + ".lora_up.weight"] = up.T
+            sd[base + ".alpha"] = np.float32(alpha)
+    return sd
+
+
+def save_kohya_lora(path: str, lora):
+    """Write the exported kohya state dict as .safetensors."""
+    from safetensors.numpy import save_file
+
+    save_file(export_kohya_lora(lora), path)
+
+
 def load_vism_lora(path: str, cfg: DiTConfig):
     """Load a LoRA for merge: either a reference kohya checkpoint
     (.safetensors / torch .pth, lora_utils.py key layout) or a directory

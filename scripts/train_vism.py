@@ -53,6 +53,11 @@ def parse_args():
     p.add_argument("--lora_skip_name", default=None,
                    help="skip LoRA on kernels whose path contains this "
                         "substring (reference --lora_skip_name)")
+    p.add_argument("--export_kohya", action="store_true",
+                   help="also write lora_kohya.safetensors at each "
+                        "checkpoint — the reference merge_lora format "
+                        "(lora_utils.py:368), so LoRA trained here loads "
+                        "in the torch ecosystem")
     p.add_argument("--train_text_encoder", action="store_true",
                    help="also LoRA-train the umT5 text encoder (reference "
                         "network.apply_to(text_encoder, ..., True), "
@@ -295,6 +300,16 @@ def run_training(dit, base_params, vae, vae_params, encode_text,
             # train.py:940-941)
             mgr.save(global_step, lora, opt_state=opt_state,
                      extra={"global_step": global_step})
+            if getattr(args, "export_kohya", False):
+                from more4d_tpu.convert.lora_torch import save_kohya_lora
+
+                export = lora["dit"] if train_te else lora
+                if train_te:
+                    print("NOTE: --export_kohya writes the DiT factors; "
+                          "text-encoder factors stay orbax-only")
+                save_kohya_lora(os.path.join(args.output_dir,
+                                             "lora_kohya.safetensors"),
+                                export)
     metrics.close()
     mgr.close()
     return lora

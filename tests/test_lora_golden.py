@@ -125,6 +125,48 @@ def test_kohya_lora_merge_matches_reference(scan_blocks):
             err_msg=k)
 
 
+@pytest.mark.parametrize("scan_blocks", [True, False])
+def test_kohya_export_roundtrip(scan_blocks):
+    """export_kohya_lora is the exact inverse of convert_kohya_lora, in
+    both scanned and per-block layouts — LoRA trained here ships back to
+    the reference's merge_lora format losslessly."""
+    import jax
+    import jax.numpy as jnp
+
+    from more4d_tpu.convert.lora_torch import (convert_kohya_lora,
+                                               export_kohya_lora)
+    from more4d_tpu.models import WanDiT
+    from more4d_tpu.train.lora import create_lora
+
+    tcfg = dit_tiny(in_dim=16, out_dim=16, model_type="t2v",
+                    motion_guidance=False, scan_blocks=scan_blocks,
+                    dtype=np.float32, param_dtype=np.float32)
+    dit = WanDiT(tcfg)
+    params = dit.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, 4, 4, 16), jnp.float32),
+        jnp.zeros((1,), jnp.float32),
+        jnp.zeros((1, 4, tcfg.text_dim), jnp.float32))
+    lora = create_lora(params, jax.random.PRNGKey(1), rank=3, alpha=2.0)
+    # randomize up too (zero-init would hide transpose errors)
+    rs = np.random.RandomState(2)
+    lora["factors"] = {
+        k: {"down": np.asarray(rs.randn(*np.shape(f["down"])), np.float32),
+            "up": np.asarray(rs.randn(*np.shape(f["up"])), np.float32)}
+        for k, f in lora["factors"].items()}
+
+    sd = export_kohya_lora(lora)
+    assert all(k.startswith("lora_unet_blocks_") for k in sd)
+    back = convert_kohya_lora(sd, tcfg)
+    assert back["rank"] == 3 and back["alpha"] == 2.0
+    assert back["factors"].keys() == lora["factors"].keys()
+    for k in lora["factors"]:
+        for part in ("down", "up"):
+            np.testing.assert_array_equal(
+                np.asarray(back["factors"][k][part]),
+                np.asarray(lora["factors"][k][part]), err_msg=f"{k}/{part}")
+
+
 def jax_flat(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
