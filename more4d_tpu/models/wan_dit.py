@@ -48,6 +48,20 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+def zero_mpm_fallback(cfg, tokens, mpm, mask):
+    """Zero MPM features + mask for a 4D (motion_guidance) model running
+    without motion conditioning. The ONE copy of this shape/dtype
+    convention — the resident backbone, the streamed inference walk
+    (parallel/offload.py) and the streamed LoRA trainer
+    (train/lora_streamed.py) must all agree or streamed-vs-resident
+    outputs diverge."""
+    if mpm is None and cfg.motion_guidance:
+        mpm = jnp.zeros(tokens.shape[:2] + (cfg.motion_feature_dim,),
+                        cfg.dtype)
+        mask = jnp.zeros((tokens.shape[1], 1), jnp.float32)
+    return mpm, mask
+
+
 def xavier_uniform():
     return nn.initializers.xavier_uniform()
 
@@ -550,11 +564,8 @@ class WanDiT(nn.Module):
         """The block stack; returns updated tokens (the teacache 'residual'
         is tokens_out - tokens_in, computed by the pipeline)."""
         cfg = self.cfg
-        mpm, mask = it.mpm_tokens, it.mpm_mask
-        if mpm is None and cfg.motion_guidance:
-            mpm = jnp.zeros(it.tokens.shape[:2] + (cfg.motion_feature_dim,),
-                            cfg.dtype)
-            mask = jnp.zeros((it.tokens.shape[1], 1), jnp.float32)
+        mpm, mask = zero_mpm_fallback(cfg, it.tokens, it.mpm_tokens,
+                                      it.mpm_mask)
         if cfg.scan_blocks:
             x, _ = self.block_stack(it.tokens, it.e0, it.context, it.rope_cos,
                                     it.rope_sin, it.kv_lens, mpm, mask)

@@ -71,11 +71,17 @@ def _fp8_eligible(path: str, shape) -> bool:
     return not any(k in low for k in ("norm", "modulation", "embedding"))
 
 
-def _quantize_leaf(a, quantize: str, path: str = ""):
-    if quantize == "fp8" and hasattr(a, "ndim") \
-            and _fp8_eligible(path, a.shape):
-        return a.astype(jnp.float8_e4m3fn)
-    return a.astype(jnp.bfloat16)
+def _quantized_dtype(quantize: str, path: str, shape, orig_dtype):
+    """THE storage-dtype rule for host-parked block weights (one copy:
+    offload_blocks_to_host and make_host_blocks both resolve through
+    here). fp8 for big matrices, bf16 for norms/modulation/vectors
+    (fp8_optimization.py:19 semantics); 'none' keeps the original dtype
+    (parity tests)."""
+    if quantize == "none":
+        return orig_dtype
+    if quantize == "fp8" and _fp8_eligible(path, shape):
+        return jnp.float8_e4m3fn
+    return jnp.bfloat16
 
 
 def _walk_with_path(tree, fn, prefix=""):
@@ -114,11 +120,7 @@ def offload_blocks_to_host(stacked_blocks: Any, num_layers: int,
     def _cast_np(a, path):
         # cast in numpy (jnp float dtypes are ml_dtypes) so the one-time
         # client upload ships fp8/bf16 bytes, not fp32
-        if quantize == "none":          # keep original dtype (parity tests)
-            return a
-        if quantize == "fp8" and _fp8_eligible(path, a.shape):
-            return a.astype(jnp.float8_e4m3fn)
-        return a.astype(jnp.bfloat16)
+        return a.astype(_quantized_dtype(quantize, path, a.shape, a.dtype))
 
     def slice_layer(k):
         layer = _walk_with_path(
@@ -156,9 +158,7 @@ def make_host_blocks(model: WanDiT, num_layers: int, quantize: str = "fp8",
         shapes["params"]["blocks"]["block"],
         lambda s, p: jax.ShapeDtypeStruct(
             s.shape[1:],
-            jnp.float8_e4m3fn
-            if (quantize == "fp8" and _fp8_eligible(p, s.shape[1:]))
-            else jnp.bfloat16))
+            _quantized_dtype(quantize, p, s.shape[1:], jnp.bfloat16)))
     rest_shapes = {"params": {k: v for k, v in shapes["params"].items()
                               if k != "blocks"}}
 
@@ -264,12 +264,11 @@ class StreamedDiT:
     def backbone_inline(self, hbs, it):
         """Traceable streamed block walk — usable inside a larger jitted
         graph (the pipeline's fori_loop denoise)."""
+        from ..models.wan_dit import zero_mpm_fallback
+
         h = it.tokens
-        mpm, mask = it.mpm_tokens, it.mpm_mask
-        if mpm is None and self.cfg.motion_guidance:
-            mpm = jnp.zeros(h.shape[:2] + (self.cfg.motion_feature_dim,),
-                            self.cfg.dtype)
-            mask = jnp.zeros((h.shape[1], 1), jnp.float32)
+        mpm, mask = zero_mpm_fallback(self.cfg, h, it.mpm_tokens,
+                                      it.mpm_mask)
         for w in hbs:
             wd = jax.device_put(w, self._s_dev)
             h = self._block.apply({"params": self._dequant(wd)}, h, it.e0,
@@ -299,10 +298,12 @@ class StreamedDiT:
         if key in self._tails:
             return self._tails[key][1:]
 
-        @functools.partial(jax.jit, static_argnums=(0,))
-        def full_tail(doubled, resident, tokens, it, latents, sched_state,
-                      i, guidance):
-            residual = tokens - it.tokens
+        @functools.partial(jax.jit, static_argnums=(0, 1))
+        def full_tail(doubled, want_residual, resident, tokens, it,
+                      latents, sched_state, i, guidance):
+            # the residual buffer ([2B, L, D] at CFG width) only exists
+            # for TeaCache replay — without it, don't materialize one
+            residual = tokens - it.tokens if want_residual else None
             pred = self._finalize(resident, tokens, it)
             if doubled:
                 uncond, cond = pred[:b], pred[b:]
@@ -326,6 +327,11 @@ class StreamedDiT:
                 i, latents, pred.astype(jnp.float32), sched_state)
             return latents, sched_state
 
+        # bounded: a long-lived StreamedDiT serving fresh scheduler
+        # objects per request would otherwise grow this forever (each
+        # entry pins the scheduler + two jit caches)
+        while len(self._tails) >= 4:
+            self._tails.pop(next(iter(self._tails)))
         self._tails[key] = (scheduler, full_tail, replay_tail)
         return self._tails[key][1:]
 
@@ -367,9 +373,13 @@ class StreamedDiT:
         b = latents.shape[0]
 
         dup = lambda a: None if a is None else jnp.concatenate([a, a], 0)  # noqa
-        ctx2 = (jnp.concatenate([neg_embeds, prompt_embeds], 0)
-                if do_cfg else prompt_embeds)
-        y2, clip2, mpm2 = dup(y), dup(clip_fea), dup(mpm_features)
+        if do_cfg:
+            ctx2 = jnp.concatenate([neg_embeds, prompt_embeds], 0)
+            y2, clip2, mpm2 = dup(y), dup(clip_fea), dup(mpm_features)
+        else:
+            # no CFG: never allocate the doubled conditioning copies
+            # (pipelines/base.py builds them inside the do_cfg branch only)
+            ctx2, y2, clip2, mpm2 = prompt_embeds, y, clip_fea, mpm_features
 
         calc = [True] * n
         if teacache is not None:
@@ -403,8 +413,8 @@ class StreamedDiT:
             if calc[i] or residual is None:
                 tokens = self._backbone(self.host_blocks, it)
                 latents, sched_state, residual = _full_tail(
-                    doubled, self.resident, tokens, it, latents,
-                    sched_state, ii, g)
+                    doubled, teacache is not None, self.resident, tokens,
+                    it, latents, sched_state, ii, g)
             else:
                 latents, sched_state = _replay_tail(
                     doubled, self.resident, it, residual, latents,

@@ -37,7 +37,8 @@ import optax
 
 from ..parallel.offload import StreamedDiT
 from .optim import custom_mse_loss
-from .sampler import StratifiedTimestepSampler
+from .sampler import (StratifiedTimestepSampler, loss_weighting_sd3,
+                      timestep_density_u)
 from .train_straag import training_schedule
 
 _BLOCK_MARK = "blocks/block/"
@@ -74,6 +75,8 @@ class StreamedLoRATrainer(StreamedDiT):
                  max_grad_norm: float = 1.0, mse_threshold: float = 50.0,
                  shift: float = 5.0, num_train_timesteps: int = 1000,
                  uniform_sampling: bool = True, world_size: int = 1,
+                 weighting_scheme: str = "none", logit_mean: float = 0.0,
+                 logit_std: float = 1.0, mode_scale: float = 1.29,
                  rope_tables=None, acts_on_host: bool = False,
                  bwd_chunk: int = 4):
         super().__init__(model, resident, host_blocks,
@@ -96,6 +99,12 @@ class StreamedLoRATrainer(StreamedDiT):
         self.mse_threshold = float(mse_threshold)
         self.sigmas = jnp.asarray(
             training_schedule(num_train_timesteps, shift))
+        self.uniform_sampling = bool(uniform_sampling)
+        self.num_train_timesteps = int(num_train_timesteps)
+        self.weighting_scheme = str(weighting_scheme)
+        self.logit_mean = float(logit_mean)
+        self.logit_std = float(logit_std)
+        self.mode_scale = float(mode_scale)
         self.sampler = StratifiedTimestepSampler(
             num_train_timesteps, uniform_sampling=uniform_sampling,
             world_size=world_size)
@@ -114,10 +123,13 @@ class StreamedLoRATrainer(StreamedDiT):
         The side-path adds only O(L * r * (in + out)) flops and memory."""
         import flax.linen as fnn
 
+        from ..models.wan_dit import _ProjParams
+
         def interceptor(next_fn, args, kwargs, context):
             out = next_fn(*args, **kwargs)
-            if (context.method_name == "__call__"
-                    and isinstance(context.module, fnn.Dense)):
+            if context.method_name != "__call__":
+                return out
+            if isinstance(context.module, fnn.Dense):
                 rel = "/".join(str(p) for p in context.module.path) \
                     + "/kernel"
                 f = factors_k.get(self.rel2full.get(rel, rel))
@@ -127,6 +139,21 @@ class StreamedLoRATrainer(StreamedDiT):
                     u = f["up"].astype(out.dtype)
                     out = out + self.scale * jnp.matmul(
                         jnp.matmul(x.astype(out.dtype), d), u)
+            elif isinstance(context.module, _ProjParams):
+                # fused-qkv self-attention (the dit_14b/dit_1_3b default):
+                # q/k/v kernels are raw _ProjParams, not Dense — merge the
+                # LoRA delta into the RETURNED kernel. Unlike the full-block
+                # weight merge (which OOM'd, see docstring) this transient
+                # is one [dim, dim] delta per projection, and the fused
+                # matmul consumes it immediately.
+                rel = "/".join(str(p) for p in context.module.path) \
+                    + "/kernel"
+                f = factors_k.get(self.rel2full.get(rel, rel))
+                if f is not None:
+                    kern, bias = out
+                    d = f["down"].astype(kern.dtype)
+                    u = f["up"].astype(kern.dtype)
+                    out = (kern + self.scale * jnp.matmul(d, u), bias)
             return out
 
         with fnn.intercept_methods(interceptor):
@@ -139,26 +166,34 @@ class StreamedLoRATrainer(StreamedDiT):
                 for p, f in factors.items()}
 
     def _block_args(self, it):
-        mpm, mask = it.mpm_tokens, it.mpm_mask
-        if mpm is None and self.cfg.motion_guidance:
-            mpm = jnp.zeros(it.tokens.shape[:2]
-                            + (self.cfg.motion_feature_dim,), self.cfg.dtype)
-            mask = jnp.zeros((it.tokens.shape[1], 1), jnp.float32)
-        return mpm, mask
+        from ..models.wan_dit import zero_mpm_fallback
+
+        return zero_mpm_fallback(self.cfg, it.tokens, it.mpm_tokens,
+                                 it.mpm_mask)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _prep(self, latents, rng, rank):
-        """Noising + target, bit-matching make_vism_train_step's prep."""
+        """Noising + target, bit-matching make_vism_train_step's prep
+        (incl. the SD3 density path + loss weighting when
+        uniform_sampling is False / weighting_scheme is set)."""
         rng_t, rng_n = jax.random.split(rng)
         x = latents.astype(jnp.float32)
         b = x.shape[0]
-        idx = self.sampler(rng_t, b, rank)
+        if self.uniform_sampling:
+            idx = self.sampler(rng_t, b, rank)
+        else:
+            u = timestep_density_u(rng_t, self.weighting_scheme, b,
+                                   self.logit_mean, self.logit_std,
+                                   self.mode_scale)
+            idx = jnp.clip((u * self.num_train_timesteps).astype(jnp.int32),
+                           0, self.num_train_timesteps - 1)
         sigma = self.sigmas[idx].reshape(b, 1, 1, 1, 1)
         t = (self.sigmas[idx] * 1000.0).astype(jnp.float32)
+        loss_weight = loss_weighting_sd3(self.weighting_scheme, sigma)
         noise = jax.random.normal(rng_n, x.shape, jnp.float32)
         zt = (1.0 - sigma) * x + sigma * noise
         target = noise - x
-        return zt, t, target
+        return zt, t, target, loss_weight
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _fwd_collect(self, hbs, factors, it):
@@ -180,13 +215,13 @@ class StreamedLoRATrainer(StreamedDiT):
         return h, tuple(saved)
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _loss_tail(self, resident, tokens, it, target):
+    def _loss_tail(self, resident, tokens, it, target, loss_weight):
         from ..models.wan_dit import WanDiT
 
         def lf(tok):
             pred = self.model.apply(resident, tok, it,
                                     method=WanDiT.finalize)
-            return custom_mse_loss(pred, target,
+            return custom_mse_loss(pred, target, weighting=loss_weight,
                                    threshold=self.mse_threshold)
 
         return jax.value_and_grad(lf)(tokens)
@@ -264,14 +299,15 @@ class StreamedLoRATrainer(StreamedDiT):
     def train_step(self, lora: Any, opt_state, batch: dict, rng, rank=0,
                    fence: bool = True):
         """One LoRA train step. Returns (lora, opt_state, metrics)."""
-        zt, t, target = self._prep(batch["latents"], rng,
-                                   jnp.asarray(rank, jnp.int32))
+        zt, t, target, loss_weight = self._prep(batch["latents"], rng,
+                                                jnp.asarray(rank, jnp.int32))
         it = self._embed(self.resident, zt, t, batch["context"],
                          batch.get("y"), batch.get("clip_fea"),
                          batch.get("mpm_features"))
         tokens, saved = self._fwd_collect(self.host_blocks, lora["factors"],
                                           it)
-        loss, g_tok = self._loss_tail(self.resident, tokens, it, target)
+        loss, g_tok = self._loss_tail(self.resident, tokens, it, target,
+                                      loss_weight)
         g_factors = self._bwd_collect(self.host_blocks, lora["factors"],
                                       saved, it, g_tok)
         factors, opt_state = self._update(lora["factors"], g_factors,
@@ -287,6 +323,7 @@ class StreamedLoRATrainer(StreamedDiT):
 def make_streamed_lora_trainer(model, params, tx, rng, rank: int = 4,
                                alpha: float = 1.0, multiplier: float = 1.0,
                                quantize: str = "fp8", targets=None,
+                               skip_name: Optional[str] = None,
                                rope_tables=None, **train_kw):
     """Convenience: split a full param tree, park blocks on the host,
     create the LoRA factor tree, return (trainer, lora, opt_state)."""
@@ -294,7 +331,8 @@ def make_streamed_lora_trainer(model, params, tx, rng, rank: int = 4,
     from .lora import DEFAULT_TARGETS, create_lora
 
     lora = create_lora(params, rng, rank=rank, alpha=alpha,
-                       targets=targets or DEFAULT_TARGETS)
+                       targets=targets or DEFAULT_TARGETS,
+                       skip_name=skip_name)
     resident, stacked = split_block_params(params)
     host = offload_blocks_to_host(stacked, model.cfg.num_layers,
                                   quantize=quantize)

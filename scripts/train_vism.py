@@ -233,8 +233,13 @@ def run_training(dit, base_params, vae, vae_params, encode_text,
         trainer, lora, opt_state = make_streamed_lora_trainer(
             dit, base_params, tx, jax.random.PRNGKey(args.seed),
             rank=args.lora_rank, alpha=args.lora_alpha, quantize="fp8",
+            skip_name=skip_name,
             max_grad_norm=tcfg.max_grad_norm,
             mse_threshold=tcfg.mse_threshold, shift=tcfg.shift,
+            uniform_sampling=tcfg.uniform_sampling,
+            weighting_scheme=tcfg.weighting_scheme,
+            logit_mean=tcfg.logit_mean, logit_std=tcfg.logit_std,
+            mode_scale=tcfg.mode_scale,
             acts_on_host=False)
         del base_params  # free host RAM: blocks now live in pinned memory
 

@@ -20,12 +20,12 @@ from more4d_tpu.train.lora_streamed import (StreamedLoRATrainer,
 from more4d_tpu.train.train_vism import VismTrainConfig, make_vism_train_step
 
 
-def _setup(motion=False, dtype=jnp.float32):
+def _setup(motion=False, dtype=jnp.float32, **cfg_kw):
     # InP geometry (the reference's ViSM LoRA target is the 14B InP:
     # 4D_ViSM_training/train.py:859-868): i2v, 20ch y, no motion guidance
     cfg = dit_tiny(motion_guidance=motion, model_type="i2v", dtype=dtype,
                    param_dtype=dtype, num_layers=2, text_len=24,
-                   clip_tokens=9)
+                   clip_tokens=9, **cfg_kw)
     model = WanDiT(cfg)
     rng = jax.random.PRNGKey(0)
     b, lt, lh, lw = 1, 3, 8, 8
@@ -58,25 +58,39 @@ def _setup(motion=False, dtype=jnp.float32):
     return model, params, batch
 
 
+@pytest.mark.parametrize("fused_qkv", [True, False])
 @pytest.mark.parametrize("bwd_chunk", [4, 1])
-def test_streamed_lora_step_matches_resident(bwd_chunk):
+def test_streamed_lora_step_matches_resident(bwd_chunk, fused_qkv):
     """Two steps of the streamed trainer == two steps of the resident
-    LoRA trainer: same loss, same updated factors.
+    LoRA trainer: same loss, same updated factors — starting from
+    RANDOMIZED (nonzero-up) factors so a projection whose LoRA were
+    silently dropped would move the loss (the fused-qkv q/k/v kernels go
+    through _ProjParams, not Dense, and an earlier interceptor missed
+    them entirely — zero-init up masked it).
 
     bwd_chunk=4 on the 2-layer model takes the single-partial-chunk
     Python-slice path; bwd_chunk=1 forces TWO full chunks through
     _slice_factor_chunk's lax.dynamic_slice, the reverse cotangent
     chaining, and the chunks.reverse()+concatenate reassembly — the
     code path the real 40-layer 14B job runs (review finding r3)."""
-    model, params, batch = _setup()
+    model, params, batch = _setup(fused_qkv=fused_qkv)
     # SGD keeps the comparison linear in the gradients — adamw divides by
     # sqrt(v)+eps, which amplifies O(1e-7) fp-association noise on
     # near-zero gradient elements into O(lr)-scale factor differences
     tx = optax.sgd(1e-2)
     rng = jax.random.PRNGKey(42)
 
-    # resident reference: make_vism_train_step on the scanned model
+    # resident reference: make_vism_train_step on the scanned model.
+    # Randomize BOTH factor halves: with up=0 a dropped projection's LoRA
+    # is invisible to the forward and barely visible after 2 SGD steps.
     lora0 = create_lora(params, jax.random.PRNGKey(7))
+    rs = np.random.RandomState(3)
+    lora0["factors"] = {
+        k: {"down": jnp.asarray(rs.randn(*np.shape(f["down"])) * 0.05,
+                                jnp.float32),
+            "up": jnp.asarray(rs.randn(*np.shape(f["up"])) * 0.05,
+                              jnp.float32)}
+        for k, f in lora0["factors"].items()}
     vcfg = VismTrainConfig()
     ref_step = jax.jit(make_vism_train_step(model, tx, vcfg),
                        static_argnums=(5,))
@@ -92,10 +106,9 @@ def test_streamed_lora_step_matches_resident(bwd_chunk):
     trainer, lora_s, opt_s = make_streamed_lora_trainer(
         model, params, tx, jax.random.PRNGKey(7), quantize="none",
         bwd_chunk=bwd_chunk)
-    # identical init by construction (same rng)
-    jax.tree.map(lambda a, b: np.testing.assert_allclose(
-        np.asarray(a), np.asarray(b), rtol=0, atol=0),
-        lora0["factors"], lora_s["factors"])
+    lora_s = {**lora_s, "factors": jax.tree.map(lambda a: a,
+                                                lora0["factors"])}
+    opt_s = tx.init(lora_s["factors"])
     losses_s = []
     for i in range(2):
         lora_s, opt_s, m = trainer.train_step(
@@ -131,6 +144,33 @@ def test_streamed_lora_motion_variant():
                                   - b).max()) > 0,
         lora["factors"], before)
     assert any(v["up"] for v in moved.values()), "no up factor moved"
+
+
+def test_streamed_density_sampling_and_skip_name():
+    """The streamed trainer honors the SD3 density/weighting config and
+    --lora_skip_name like the resident trainer (review findings r3: both
+    were silently ignored on the --offload_blocks path)."""
+    model, params, batch = _setup()
+    tx = optax.sgd(1e-2)
+    trainer, lora, opt = make_streamed_lora_trainer(
+        model, params, tx, jax.random.PRNGKey(1), quantize="none",
+        skip_name="ffn", uniform_sampling=False,
+        weighting_scheme="cosmap")
+    assert not any("ffn" in p for p in lora["factors"])
+    assert any("self_attn" in p for p in lora["factors"])
+    lora, opt, m = trainer.train_step(lora, opt, batch,
+                                      jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["loss"]))
+
+    # same rng under scheme 'none': the cosmap weighting must change the
+    # loss (proves the weighting actually reaches the streamed loss tail)
+    trainer2, lora2, opt2 = make_streamed_lora_trainer(
+        model, params, tx, jax.random.PRNGKey(1), quantize="none",
+        skip_name="ffn", uniform_sampling=False,
+        weighting_scheme="none")
+    _, _, m2 = trainer2.train_step(lora2, opt2, batch,
+                                   jax.random.PRNGKey(3))
+    assert float(m["loss"]) != float(m2["loss"])
 
 
 def test_acts_on_host_matches_device_resident():
