@@ -467,8 +467,16 @@ def main():
         rng1, rng2 = jax.random.split(sample_rng)
 
         if args.run_stage1:
-            image = np.asarray(Image.open(image_path).convert("RGB"),
-                               np.float32) / 255.0
+            if image_path.lower().endswith((".mp4", ".avi", ".mkv",
+                                            ".webm", ".mov")):
+                # the reference's TwoStageDataset iterates VIDEOS and
+                # conditions on the first frame (infer.py:122-136)
+                from more4d_tpu.utils.artifacts import read_video_frames
+
+                image = read_video_frames(image_path, 1)[0]
+            else:
+                image = np.asarray(Image.open(image_path).convert("RGB"),
+                                   np.float32) / 255.0
             coords, colors = stage1_generate(
                 models, image, prompt, args.negative_prompt, rng=rng1,
                 normalize_track_z=args.normalize_track_z,
@@ -552,7 +560,10 @@ def main():
     # infer.py --data_path/--prompt_file_name/--max_samples); model
     # loading and compiled graphs amortize across samples
     if args.image_dir:
-        exts = (".png", ".jpg", ".jpeg", ".webp")
+        exts = (".png", ".jpg", ".jpeg", ".webp",
+                # the reference's batch mode iterates videos, taking each
+                # clip's first frame (TwoStageDataset, infer.py:122-136)
+                ".mp4", ".avi", ".mkv", ".webm", ".mov")
         paths = sorted(os.path.join(args.image_dir, f)
                        for f in os.listdir(args.image_dir)
                        if f.lower().endswith(exts))

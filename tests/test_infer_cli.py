@@ -280,9 +280,15 @@ def test_infer_cli_batch_mode(tmp_path, ckpt_dir, monkeypatch):
 
     img_dir = tmp_path / "imgs"
     os.makedirs(img_dir)
-    for i, name in enumerate(["a", "b", "c"]):
+    for i, name in enumerate(["a", "c"]):
         arr = (np.random.RandomState(i).rand(H, W, 3) * 255)
         Image.fromarray(arr.astype(np.uint8)).save(img_dir / f"{name}.png")
+    # one VIDEO input: the reference's batch mode iterates clips and
+    # conditions on the first frame (TwoStageDataset, infer.py:122-136)
+    from more4d_tpu.utils.artifacts import save_videos_grid
+
+    vid = np.random.RandomState(7).rand(4, H, W, 3).astype(np.float32)
+    save_videos_grid(str(img_dir / "b.mp4"), vid[None], fps=8)
     (tmp_path / "prompts.json").write_text(
         json.dumps({"a": "a specific prompt"}))
     out_dir = tmp_path / "out"
