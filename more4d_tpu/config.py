@@ -8,7 +8,7 @@ and the constructor defaults of ``MoRe4D/models/wan_transformer4d.py:792-821`` a
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -53,10 +53,17 @@ class DiTConfig:
     # - remat_policy 'nothing': save no residuals (max recompute, min HBM);
     #   'dots': save MXU (matmul) outputs and recompute cheap elementwise
     #   ops — the policy-based equivalent of checkpointing a fraction of
-    #   the work, applied uniformly inside every scanned block.
+    #   the work, applied uniformly inside every scanned block;
+    #   'flash': save the self-attention residuals (post-rope q/k/v + the
+    #   flash kernel's o/lse) so the backward never re-executes the
+    #   O(L^2) attention forward or the qkv projections — ~3.3x-fwd
+    #   executed FLOPs vs 4x for 'nothing', ~118 MiB/block extra HBM at
+    #   the 1.3B 49f operating point;
+    #   'flash_ffn': 'flash' plus the FFN hidden (fc1 out) — cheapest
+    #   recompute, largest residency (+~170 MiB/block at 1.3B).
     # - remat_fraction: with scan_blocks=False, remat only an evenly-spaced
     #   fraction of blocks (ac_handle.py:16-64 literally).
-    remat_policy: str = "nothing"               # 'nothing' | 'dots'
+    remat_policy: str = "nothing"   # 'nothing' | 'dots' | 'flash' | 'flash_ffn'
     remat_fraction: float = 1.0                 # unscanned path only
     scan_blocks: bool = True                    # lax.scan over the block stack
     attention_backend: str = "auto"             # 'auto' | 'pallas' | 'xla'
@@ -204,6 +211,10 @@ class PipelineConfig:
     guidance_scale: float = 6.0
     shift: float = 3.0
     scheduler: str = "flow"                     # 'flow' | 'flow_unipc' | 'flow_dpm++'
+    # extra solver-constructor knobs as (key, value) pairs — solver_order,
+    # solver_type, algorithm_type, thresholding, ... (the reference's full
+    # FlowDPMSolver/FlowUniPC constructor surface, fm_solvers.py:81-140)
+    scheduler_kwargs: Tuple[Tuple[str, Any], ...] = ()
     num_frames: int = 49
     height: int = 368
     width: int = 512

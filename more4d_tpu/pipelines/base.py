@@ -35,6 +35,14 @@ class TeaCacheConfig:
     coefficients: Tuple[float, ...]
     rel_l1_thresh: float = 0.1
     num_skip_start_steps: int = 5
+    # Park the cached residual in pinned host memory between steps (the
+    # reference's TeaCache offload=True, models/cache_utils.py:44-74):
+    # frees the [2B, L, D] buffer from HBM for the price of one
+    # host->device read per step (and one write on calc steps).  The
+    # denoise loop stays numerically identical
+    # (test_pipelines.py::test_teacache_residual_offload_identical).
+    # Single-device memory mode — not for mesh-sharded latents.
+    offload_residual: bool = False
 
 
 class BasePipeline:
@@ -52,7 +60,8 @@ class BasePipeline:
         self.streamed_dit = streamed_dit
         self.scheduler = get_scheduler(config.scheduler,
                                        config.num_inference_steps,
-                                       config.shift)
+                                       config.shift,
+                                       **dict(config.scheduler_kwargs))
         riflex = {}
         if config.riflex_k:
             lt = (config.num_frames - 1) // 4 + 1
@@ -109,6 +118,11 @@ class BasePipeline:
         dit, sched = dit or self.dit, self.scheduler
         timesteps = jnp.asarray(sched.timesteps, jnp.float32)
         tc = self.teacache
+        s_host = s_dev = None
+        if tc is not None and tc.offload_residual:
+            from ..parallel.offload import _shardings
+
+            s_host, s_dev = _shardings()
 
         def dit_forward(params, x, t, ctx, y, clip, mpm, tc_state):
             it = dit.apply(params, x, t, ctx, y=y, clip_fea=clip,
@@ -137,16 +151,23 @@ class BasePipeline:
             # residual kept in the model dtype — the reference stores it in
             # x's dtype too (wan_transformer4d.py:1267-1270); fp32 would
             # cost 2x HBM on the batched trajectory sweep
+            res_in = tc_state["residual"]
+            if s_dev is not None:
+                # offloaded residual: read back from pinned host before the
+                # cond (both branches must see device placement); written
+                # back to host below
+                res_in = jax.device_put(res_in, s_dev)
+
             def run(_):
                 tokens = dit.apply(params, it, method=WanDiT.backbone)
                 return tokens, (tokens - tokens_in)
 
             def replay(_):
-                return (tokens_in
-                        + tc_state["residual"].astype(tokens_in.dtype),
-                        tc_state["residual"])
+                return (tokens_in + res_in.astype(tokens_in.dtype), res_in)
 
             tokens, residual = jax.lax.cond(should_calc, run, replay, None)
+            if s_host is not None:
+                residual = jax.device_put(residual, s_host)
             new_state = {
                 "prev_e0": e0,
                 "accum": accum,
@@ -184,11 +205,15 @@ class BasePipeline:
         hh = latents.shape[2] // dit.cfg.patch_size[1]
         ww = latents.shape[3] // dit.cfg.patch_size[2]
         d = dit.cfg.dim
+        residual = jnp.zeros((batch, f * hh * ww, d), dit.cfg.dtype)
+        if self.teacache.offload_residual:
+            from ..parallel.offload import _shardings
+
+            residual = jax.device_put(residual, _shardings()[0])
         return {
             "prev_e0": jnp.zeros((batch, 6, d), jnp.float32),
             "accum": jnp.zeros((), jnp.float32),
-            "residual": jnp.zeros((batch, f * hh * ww, d),
-                                  dit.cfg.dtype),
+            "residual": residual,
             "steps_seen": jnp.zeros((), jnp.int32),
         }
 
@@ -259,10 +284,18 @@ class BasePipeline:
                 # reference (cache_utils [-bs:]: the cond halves of the
                 # doubled-phase state; e0 halves are identical) instead
                 # of re-warming
+                residual = tc_carry["residual"][-b:]
+                if self.teacache.offload_residual:
+                    # the slice lands in device memory — park it back on
+                    # the host so the second loop's carry placement
+                    # matches its init
+                    from ..parallel.offload import _shardings
+
+                    residual = jax.device_put(residual, _shardings()[0])
                 tc_state = {
                     "prev_e0": tc_carry["prev_e0"][-b:],
                     "accum": tc_carry["accum"],
-                    "residual": tc_carry["residual"][-b:],
+                    "residual": residual,
                     "steps_seen": tc_carry["steps_seen"],
                 }
             start = n_cfg if do_cfg else 0

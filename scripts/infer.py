@@ -100,9 +100,27 @@ def build_parser():
     p.add_argument("--shift", type=float, default=3.0)
     p.add_argument("--sampler", default="flow",
                    choices=["flow", "flow_unipc", "flow_dpm++"])
+    # solver-constructor knobs for the multistep samplers (the reference's
+    # FlowDPMSolver/FlowUniPC surface, fm_solvers.py:81-140,
+    # fm_solvers_unipc.py:43-102); ignored defaults leave the samplers at
+    # the pipeline configuration the reference's infer.py runs
+    p.add_argument("--solver_order", type=int, default=None,
+                   choices=[1, 2, 3])
+    p.add_argument("--solver_type", default=None,
+                   help="dpm++: midpoint|heun; unipc: bh1|bh2")
+    p.add_argument("--solver_algorithm", default=None,
+                   choices=["dpmsolver++", "dpmsolver", "sde-dpmsolver++",
+                            "sde-dpmsolver"],
+                   help="flow_dpm++ only (algorithm_type)")
+    p.add_argument("--solver_thresholding", action="store_true",
+                   help="dynamic thresholding of the x0 prediction")
     # reference inference defaults: TeaCache 0.10 with 5 warm steps
     # (infer.py:1044-1048); 0 disables
     p.add_argument("--teacache_threshold", type=float, default=0.10)
+    # park the TeaCache residual in pinned host memory between steps (the
+    # reference's TeaCache offload=True, cache_utils.py:44-74) — frees
+    # [2B,L,D] of HBM for one host<->device hop per step
+    p.add_argument("--teacache_offload", action="store_true")
     p.add_argument("--cfg_skip_ratio", type=float, default=0.0)
     p.add_argument("--riflex_k", type=int, default=None)
     # the reference's timer/timer_record observability (utils.py:416-466)
@@ -329,10 +347,20 @@ def main():
         if args.sp > 1:
             set_mesh(mesh)   # routes DiT self-attention through Ulysses
 
+    solver_kw = []
+    if args.solver_order is not None:
+        solver_kw.append(("solver_order", args.solver_order))
+    if args.solver_type is not None:
+        solver_kw.append(("solver_type", args.solver_type))
+    if args.solver_algorithm is not None:
+        solver_kw.append(("algorithm_type", args.solver_algorithm))
+    if args.solver_thresholding:
+        solver_kw.append(("thresholding", True))
     pcfg = PipelineConfig(
         num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale, shift=args.shift,
-        scheduler=args.sampler, num_frames=args.num_frames,
+        scheduler=args.sampler, scheduler_kwargs=tuple(solver_kw),
+        num_frames=args.num_frames,
         height=args.height, width=args.width,
         teacache_threshold=args.teacache_threshold,
         cfg_skip_ratio=args.cfg_skip_ratio, riflex_k=args.riflex_k)
@@ -343,7 +371,8 @@ def main():
         teacache = TeaCacheConfig(
             coefficients=tuple(TEACACHE_COEFFICIENTS[coeff_key]),
             rel_l1_thresh=args.teacache_threshold,
-            num_skip_start_steps=args.num_skip_start_steps)
+            num_skip_start_steps=args.num_skip_start_steps,
+            offload_residual=args.teacache_offload)
     ctrl = WanControlPipeline(dit4, vae, pcfg, teacache=teacache)
     # stage-2 may sample under its own CFG scale / step count
     # (reference infer.py:982-983)

@@ -179,6 +179,60 @@ def test_infer_cli_no_use_depth(tmp_path, ckpt_dir, monkeypatch):
     assert sum(f.endswith(".mp4") for f in wrote) == 1, wrote
 
 
+def test_infer_cli_solver_knobs_and_teacache_offload(tmp_path, ckpt_dir,
+                                                     monkeypatch):
+    """--solver_order/--solver_type reach the pipelines' scheduler and
+    --teacache_offload flips the residual's memory placement — the full
+    two-stage run still produces artifacts (round-4 knob surface)."""
+    from PIL import Image
+
+    img = (np.random.RandomState(5).rand(H, W, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "img.png")
+    out_dir = tmp_path / "out"
+    argv = [
+        "infer.py", "--image", str(tmp_path / "img.png"),
+        "--prompt", "x",
+        "--control_ckpt", str(ckpt_dir / "control.pth"),
+        "--inp_ckpt", str(ckpt_dir / "inp.pth"),
+        "--vae_ckpt", str(ckpt_dir / "vae.pth"),
+        "--decoder_adaptor", str(ckpt_dir / "dec.bin"),
+        "--output_dir", str(out_dir),
+        "--model_size", "tiny", "--adaptor_ch", "64",
+        "--allow_dummy_text",
+        "--height", str(H), "--width", str(W),
+        "--num_frames", str(FRAMES), "--num_inference_steps", "4",
+        "--depth_provider", "constant", "--trajectories", "static",
+        "--sampler", "flow_dpm++", "--solver_order", "3",
+        "--solver_type", "heun",
+        "--teacache_threshold", "0.5", "--teacache_offload",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    import importlib
+
+    import more4d_tpu.pipelines as pl
+
+    seen = {}
+    real_ctrl = pl.WanControlPipeline
+
+    def spy_ctrl(dit, vae, cfg, **kw):
+        pipe = real_ctrl(dit, vae, cfg, **kw)
+        seen["sched"] = pipe.scheduler
+        seen["teacache"] = kw.get("teacache")
+        return pipe
+
+    monkeypatch.setattr(pl, "WanControlPipeline", spy_ctrl)
+    infer_cli = importlib.import_module("infer")
+    infer_cli.main()
+    from more4d_tpu.diffusion import FlowDPMScheduler
+
+    assert isinstance(seen["sched"], FlowDPMScheduler)
+    assert seen["sched"].solver_order == 3
+    assert seen["sched"].solver_type == "heun"
+    assert seen["teacache"].offload_residual
+    wrote = sorted(os.listdir(out_dir))
+    assert sum(f.endswith(".mp4") for f in wrote) == 1, wrote
+
+
 def test_infer_cli_stage_gating_resume(tmp_path, ckpt_dir, monkeypatch):
     """Reference stage gating (--run_stage1/--run_stage2_complete/
     --only_render, infer.py:1085-1122): a stage-1-only run persists the

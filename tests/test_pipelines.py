@@ -202,3 +202,58 @@ def test_mask_folding_shapes():
     lat = resize_mask_to_latent(m4, (2, 3, 4, 4, 16))
     assert lat.shape == (2, 3, 4, 4, 4)
     np.testing.assert_allclose(np.asarray(lat), 1.0, rtol=1e-6)
+
+
+def test_solver_knobs_reach_pipeline():
+    """PipelineConfig.scheduler_kwargs forwards the solver-constructor
+    knobs (fm_solvers.py:81-140 surface) into the denoise loop's
+    scheduler."""
+    from more4d_tpu.diffusion import FlowDPMScheduler, FlowUniPCScheduler
+
+    dit, _cfg = _dit(36)
+    vae, _vp = _vae()
+    pcfg = PipelineConfig(num_inference_steps=4, scheduler="flow_dpm++",
+                          scheduler_kwargs=(("solver_order", 3),
+                                            ("solver_type", "heun")),
+                          num_frames=9, height=32, width=32)
+    pipe = WanControlPipeline(dit, vae, pcfg)
+    assert isinstance(pipe.scheduler, FlowDPMScheduler)
+    assert pipe.scheduler.solver_order == 3
+    assert pipe.scheduler.solver_type == "heun"
+
+    pcfg2 = PipelineConfig(num_inference_steps=4, scheduler="flow_unipc",
+                           scheduler_kwargs=(("solver_order", 3),
+                                             ("solver_type", "bh1")),
+                           num_frames=9, height=32, width=32)
+    pipe2 = WanControlPipeline(dit, vae, pcfg2)
+    assert isinstance(pipe2.scheduler, FlowUniPCScheduler)
+    assert pipe2.scheduler.solver_order == 3
+
+
+def test_teacache_residual_offload_identical():
+    """offload_residual parks the cached residual in pinned host memory
+    between steps (the reference TeaCache offload=True,
+    cache_utils.py:44-74) — a pure memory-placement change: the denoise
+    trajectory must be bitwise-identical to the resident variant."""
+    dit, cfg = _dit(24, motion=False)
+    vae, _ = _vae()
+    pcfg = PipelineConfig(num_inference_steps=8, guidance_scale=5.0,
+                          num_frames=T, height=H, width=W,
+                          cfg_skip_ratio=0.25)
+    probe = WanControlPipeline(dit, vae, pcfg)
+    latents = probe.prepare_latents(jax.random.PRNGKey(3), 1)
+    params = _init_dit(dit, cfg, latents, 20)
+    prompt = jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.float32)
+    y = jnp.zeros(latents.shape[:-1] + (20,), jnp.float32)
+    clip = jnp.zeros((1, cfg.clip_tokens, cfg.clip_dim), jnp.float32)
+
+    outs = []
+    for offload in (False, True):
+        tc = TeaCacheConfig(coefficients=(0.0, 0.0, 0.0, 1.0, 0.0),
+                            rel_l1_thresh=0.5, num_skip_start_steps=2,
+                            offload_residual=offload)
+        pipe = WanControlPipeline(dit, vae, pcfg, teacache=tc)
+        outs.append(np.asarray(pipe.denoise(
+            params, latents, prompt, neg_embeds=prompt, y=y,
+            clip_fea=clip)))
+    np.testing.assert_array_equal(outs[0], outs[1])
