@@ -382,22 +382,36 @@ def _xla_attention(q, k, v, kv_lens, sm_scale):
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _flash_attention_core(q, k, v, kv_lens, sm_scale, block_q, block_k,
-                          interpret, backward):
+                          interpret, backward, ckpt_name):
     out, _ = _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k,
                             interpret)
     return out
 
 
 def _core_fwd(q, k, v, kv_lens, sm_scale, block_q, block_k, interpret,
-              backward):
+              backward, ckpt_name):
     out, lse = _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k,
                               interpret)
+    if ckpt_name is not None:
+        # Residual checkpointing hook (remat_policy='flash'): naming the
+        # custom-vjp RESIDUALS themselves lets
+        # jax.checkpoint_policies.save_only_these_names keep (o, lse)
+        # across a rematerialised block, so the backward pass never
+        # re-executes the O(L^2) forward kernel — the recompute walk
+        # shrinks to the cheap projections/norms.  Names must be applied
+        # here (not by the caller, post-call) or the saved value is a
+        # different jaxpr var from the residual and the kernel re-runs.
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, f"{ckpt_name}_o")
+        lse = checkpoint_name(lse, f"{ckpt_name}_lse")
     return out, (q, k, v, kv_lens, out, lse)
 
 
-def _core_bwd(sm_scale, block_q, block_k, interpret, backward, res, g):
+def _core_bwd(sm_scale, block_q, block_k, interpret, backward, ckpt_name,
+              res, g):
     q, k, v, kv_lens, o, lse = res
     if backward == "pallas":
         dq, dk, dv = _flash_backward(q, k, v, kv_lens, o, lse, g, sm_scale,
@@ -419,7 +433,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = 512,
                     block_k: Optional[int] = None,
                     interpret: Optional[bool] = None,
-                    backward: str = "pallas") -> jnp.ndarray:
+                    backward: str = "pallas",
+                    ckpt_name: Optional[str] = None) -> jnp.ndarray:
     """Flash attention over [B, L, H, D] tensors (BLHD layout like flash-attn).
 
     kv_lens: optional [B] int32 — keys at positions >= kv_lens[b] are masked
@@ -427,16 +442,23 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     block_k: None picks the padding-minimising kv tile (forward); the
     backward kernels use a fixed 1024 (their scratch doubles per tile).
     backward: "pallas" (O(L) memory, default) or "xla" (dense recompute).
+    ckpt_name: tag the (o, lse) residuals '<ckpt_name>_o'/'<ckpt_name>_lse'
+    for save_only_these_names remat policies (see _core_fwd).
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
+    if k.shape[1] == 0:
+        # empty key set (e.g. an i2v cross-attention called without clip
+        # context): softmax over zero keys — match the XLA fallback's
+        # zeros output instead of tiling a zero-length kv axis
+        return jnp.zeros_like(q)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
     out = _flash_attention_core(qt, kt, vt, kv_lens, sm_scale, block_q,
-                                block_k, interpret, backward)
+                                block_k, interpret, backward, ckpt_name)
     return jnp.swapaxes(out, 1, 2)
 
 

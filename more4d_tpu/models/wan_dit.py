@@ -34,6 +34,7 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import DiTConfig
 from .. import nn as mnn
@@ -66,6 +67,38 @@ def xavier_uniform():
     return nn.initializers.xavier_uniform()
 
 
+def remat_policy_of(cfg: DiTConfig):
+    """Map cfg.remat_policy to a jax checkpoint policy (None = save
+    nothing, recompute the whole block: ~4x-fwd executed FLOPs).
+
+    'dots' saves every MXU output (max HBM). 'flash' saves the
+    self-attention residuals — post-rope q/k/v (named in SelfAttention)
+    plus the flash kernel's (o, lse) (named inside the custom-vjp fwd,
+    kernels/flash_attention.py) — so the backward recompute walk skips the
+    O(L^2) attention forward AND the qkv projections: ~3.3x-fwd executed
+    for ~118 MiB/block extra HBM at the 1.3B 49f operating point.
+    'flash_ffn' additionally saves the FFN hidden (fc1 out): cheapest
+    recompute, +~170 MiB/block at 1.3B. All policies are numerically
+    identical (test_wan_dit.py::test_remat_policies_numerically_identical);
+    they trade recompute FLOPs for activation residency only."""
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if cfg.remat_policy in ("flash", "flash_lite", "flash_ffn"):
+        # 'flash_lite' keeps only (o, lse) — the flash forward still never
+        # re-runs (those ARE its remaining vjp residuals; q/k/v recompute
+        # via the cheap qkv projection), at ~1/4 the saved bytes: the
+        # right point on a 16 GiB chip where the full set OOMs beside the
+        # optimizer state (measured: 'flash' at 1.3B/49f/bs1 + AdamW
+        # exhausts HBM, 'flash_lite' fits).
+        names = ["sa_o", "sa_lse"]
+        if cfg.remat_policy in ("flash", "flash_ffn"):
+            names = ["sa_q", "sa_k", "sa_v"] + names
+        if cfg.remat_policy == "flash_ffn":
+            names.append("ffn_hidden")
+        return jax.checkpoint_policies.save_only_these_names(*names)
+    return None
+
+
 class FeedForward(nn.Module):
     dim: int
     ffn_dim: int
@@ -77,6 +110,10 @@ class FeedForward(nn.Module):
         x = nn.Dense(self.ffn_dim, kernel_init=xavier_uniform(),
                      dtype=self.dtype, param_dtype=self.param_dtype,
                      name="fc1")(x)
+        # remat-policy hook: 'flash_ffn' additionally saves the [B, L, F]
+        # hidden so fc1 is not re-run in the backward recompute walk
+        # (memory-expensive: F=8960 at 1.3B — only for small seq budgets)
+        x = checkpoint_name(x, "ffn_hidden")
         x = nn.gelu(x, approximate=True)
         x = nn.Dense(self.dim, kernel_init=xavier_uniform(),
                      dtype=self.dtype, param_dtype=self.param_dtype,
@@ -137,9 +174,16 @@ class SelfAttention(nn.Module):
         v = v.reshape(b, l, cfg.num_heads, d)
         q = apply_rope(q, rope_cos, rope_sin)
         k = apply_rope(k, rope_cos, rope_sin)
+        # remat-policy residual names (remat_policy='flash'): with post-rope
+        # q/k/v AND the kernel's (o, lse) residuals saved, the backward
+        # recompute walk skips both the qkv projections and the O(L^2)
+        # flash forward — only norms/FiLM/projection tails re-run.
+        q = checkpoint_name(q, "sa_q")
+        k = checkpoint_name(k, "sa_k")
+        v = checkpoint_name(v, "sa_v")
         o = attention(q, k, v, kv_lens=kv_lens,
                       backend=cfg.attention_backend,
-                      sequence_parallel=True)
+                      sequence_parallel=True, ckpt_name="sa")
         o = o.reshape(b, l, cfg.dim)
         return dense("o")(o)
 
@@ -402,15 +446,9 @@ class WanDiT(nn.Module):
         if cfg.scan_blocks:
             block_cls = _ScanBlock
             if cfg.remat:
-                policy = None
-                if cfg.remat_policy == "dots":
-                    # save matmul (MXU) outputs, recompute elementwise —
-                    # the XLA-policy equivalent of partial checkpointing
-                    policy = jax.checkpoint_policies.\
-                        dots_with_no_batch_dims_saveable
                 block_cls = nn.remat(
                     block_cls, prevent_cse=False,
-                    static_argnums=(), policy=policy)
+                    static_argnums=(), policy=remat_policy_of(cfg))
             self.block_stack = nn.scan(
                 block_cls,
                 variable_axes={"params": 0},
@@ -428,8 +466,8 @@ class WanDiT(nn.Module):
             stride = cfg.num_layers / max(n_ckpt, 1)
             ckpt_ids = {int(round(i * stride)) for i in range(n_ckpt)}
             for i in range(cfg.num_layers):
-                cls = nn.remat(WanBlock) if (cfg.remat and i in ckpt_ids) \
-                    else WanBlock
+                cls = nn.remat(WanBlock, policy=remat_policy_of(cfg)) \
+                    if (cfg.remat and i in ckpt_ids) else WanBlock
                 blocks.append(cls(cfg, name=f"blocks_{i}"))
             self.block_list = blocks
         self.head_mod = Head(cfg, name="head")

@@ -30,17 +30,19 @@ def _blocks():
             None if bk in ("adaptive", "") else int(bk))
 
 
-def _base(backend: str):
+def _base(backend: str, ckpt_name: Optional[str] = None):
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         bq, bk = _blocks()
         return lambda q, k, v, lens: flash_attention(q, k, v, kv_lens=lens,
-                                                     block_q=bq, block_k=bk)
+                                                     block_q=bq, block_k=bk,
+                                                     ckpt_name=ckpt_name)
     if backend == "pallas_interpret":
         bq, bk = _blocks()
         return lambda q, k, v, lens: flash_attention(q, k, v, kv_lens=lens,
                                                      block_q=bq, block_k=bk,
+                                                     ckpt_name=ckpt_name,
                                                      interpret=True)
     if backend == "xla":
         return lambda q, k, v, lens: xla_attention(q, k, v, kv_lens=lens)
@@ -50,10 +52,14 @@ def _base(backend: str):
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               kv_lens: Optional[jnp.ndarray] = None,
               backend: str = "auto",
-              sequence_parallel: bool = False) -> jnp.ndarray:
-    """Scaled dot-product attention. q/k/v: [B, L, H, D] (BLHD)."""
+              sequence_parallel: bool = False,
+              ckpt_name: Optional[str] = None) -> jnp.ndarray:
+    """Scaled dot-product attention. q/k/v: [B, L, H, D] (BLHD).
+
+    ckpt_name: remat-policy residual tag, forwarded to the flash kernel
+    (save_only_these_names support — see kernels/flash_attention.py)."""
     backend = os.environ.get("MORE4D_ATTENTION", backend)
-    fn = _base(backend)
+    fn = _base(backend, ckpt_name)
     if sequence_parallel:
         from ..parallel.ulysses import seq_parallel_size, ulysses_attention
 

@@ -197,6 +197,11 @@ def test_remat_policies_numerically_identical():
     for kw in [dict(remat=False),
                dict(remat=True, remat_policy="nothing"),
                dict(remat=True, remat_policy="dots"),
+               dict(remat=True, remat_policy="flash"),
+               dict(remat=True, remat_policy="flash_lite"),
+               dict(remat=True, remat_policy="flash_ffn"),
+               dict(remat=True, remat_policy="flash",
+                    attention_backend="pallas_interpret"),
                dict(remat=True, scan_blocks=False, remat_fraction=0.5),
                dict(remat=False, scan_blocks=False)]:
         cfg = dit_tiny(dtype=jnp.float32, in_dim=12, out_dim=4, dim=32,
