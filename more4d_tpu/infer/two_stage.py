@@ -334,9 +334,15 @@ def stage2_inpaint_batch(m: TwoStageModels,
                          rng: Optional[jax.Array] = None,
                          decode_chunk: int = 1,
                          denoise_group: Optional[int] = None,
-                         shared_noise: bool = False) -> np.ndarray:
+                         shared_noise: bool = False,
+                         async_out: bool = False) -> np.ndarray:
     """Fill disocclusions of K rendered trajectories with a batched
     encode + grouped denoise.
+
+    ``async_out=True`` returns the decoded chunks as DEVICE arrays
+    instead of one fenced numpy stack — the two-deep pipelined sweep
+    (run_two_stage) reads trajectory i back while trajectory i+1 is
+    already computing.
 
     The reference runs the 11-trajectory sweep serially
     (infer.py:961-989); here the VAE *encode* of the K masked videos runs
@@ -406,6 +412,11 @@ def stage2_inpaint_batch(m: TwoStageModels,
     latents = jnp.concatenate(lat_groups, axis=0) if len(lat_groups) > 1 \
         else lat_groups[0]
     dc = max(decode_chunk, 1)
+    if async_out:
+        # device arrays, no host readback: the caller overlaps the
+        # ~110 MB/trajectory transfer with the next trajectory's compute
+        return [pipe.decode_latents(m.vae_params, latents[i:i + dc])
+                for i in range(0, k, dc)]
     outs = [np.asarray(pipe.decode_latents(m.vae_params,
                                            latents[i:i + dc]))
             for i in range(0, k, dc)]
@@ -459,16 +470,34 @@ def run_two_stage(m: TwoStageModels, image01: np.ndarray, prompt: str,
         videos = [{"name": r["name"], "video": out}
                   for r, out in zip(renders, outs)]
     else:
+        # Two-deep pipelined sweep (VERDICT r4 item: overlap trajectory
+        # i's decoded-video host readback with trajectory i+1's
+        # encode/denoise/decode device work).  Each chunk's chain is
+        # DISPATCHED (async_out device arrays), then the PREVIOUS chunk's
+        # frames are read back — one fence per chunk pair, which respects
+        # the measured relay constraint that fully-unfenced queueing
+        # degrades (47.8 s vs 28.3 s per 3 trajectories, round 3).
+        pending = None  # (chunk, device-array list)
+
+        def _drain(p):
+            chunk_r, devs = p
+            outs = np.concatenate([np.asarray(d) for d in devs], axis=0)
+            for render, out in zip(chunk_r, outs):
+                videos.append({"name": render["name"], "video": out})
+
         for c0 in range(0, len(renders), max(stage2_batch, 1)):
             chunk = renders[c0:c0 + max(stage2_batch, 1)]
-            outs = stage2_inpaint_batch(
+            devs = stage2_inpaint_batch(
                 m, chunk, prompt, negative_prompt,
                 # shared noise must match ACROSS chunks: fixed chunk rng
                 rng=jax.random.fold_in(r2, 0 if stage2_shared_noise
                                        else c0),
                 denoise_group=stage2_denoise_group,
-                shared_noise=stage2_shared_noise)
-            for render, out in zip(chunk, outs):
-                videos.append({"name": render["name"], "video": out})
+                shared_noise=stage2_shared_noise, async_out=True)
+            if pending is not None:
+                _drain(pending)
+            pending = (chunk, devs)
+        if pending is not None:
+            _drain(pending)
     return {"coords": coords, "colors": colors, "renders": renders,
             "videos": videos}
