@@ -95,17 +95,24 @@ def build_clip_encoder(clip_ckpt: str, jit: bool = True,
 
 def build_mpm_extractor(omnimae_ckpt: str, jit: bool = True,
                         weight_dtype=None):
-    """OmniMAE ViT-B -> extract_mpm(images01)->[B, 196, 768] patch tokens."""
+    """OmniMAE trunk -> extract_mpm(images01) -> [B, N, D] patch tokens.
+
+    The B/L/H variant is detected from the checkpoint's own geometry
+    (ViT-B is the pipeline's, wan_transformer4d.py:884; L/H load the
+    same way — pair them with a matching DiT motion_feature_dim)."""
     import jax
     import torch
 
-    from ..models.omnimae import (OmniMAEViT, convert_omnimae_state_dict,
-                                  extract_mpm_features)
+    from ..models.omnimae import (convert_omnimae_state_dict,
+                                  extract_mpm_features,
+                                  infer_omnimae_variant, omnimae_vit,
+                                  OMNIMAE_VARIANTS)
 
-    model = OmniMAEViT()
+    sd = torch.load(omnimae_ckpt, map_location="cpu", weights_only=True)
+    variant = infer_omnimae_variant(sd)
+    model = omnimae_vit(variant)
     params = _cast_float_leaves(convert_omnimae_state_dict(
-        torch.load(omnimae_ckpt, map_location="cpu", weights_only=True)),
-        weight_dtype)
+        sd, depth=OMNIMAE_VARIANTS[variant]["depth"]), weight_dtype)
 
     def _raw(images01):
         tokens, _ = extract_mpm_features(model, params, images01)

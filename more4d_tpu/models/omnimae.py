@@ -112,6 +112,46 @@ def extract_mpm_features(model: OmniMAEViT, params, images01):
     return model.apply(params, x)
 
 
+# trunk geometries of the reference's three factory families
+# (MoRe4D/models/omnimae.py:77 vit_base, :267 vit_large, :458 vit_huge —
+# identical structure, different width/depth/patch; the pipeline consumes
+# ViT-B, wan_transformer4d.py:884, but all three load here)
+OMNIMAE_VARIANTS = {
+    "vit_base": dict(embed_dim=768, depth=12, num_heads=12,
+                     patch_size=(2, 16, 16)),
+    "vit_large": dict(embed_dim=1024, depth=24, num_heads=16,
+                      patch_size=(2, 16, 16)),
+    "vit_huge": dict(embed_dim=1280, depth=32, num_heads=16,
+                     patch_size=(2, 14, 14)),
+}
+
+
+def infer_omnimae_variant(sd) -> str:
+    """Identify B/L/H from a trunk state dict: the patch Conv3d weight is
+    [D, 3, pt, ph, pw] and the block count is explicit in the keys."""
+    keys = {k[len("trunk."):] if k.startswith("trunk.") else k: k
+            for k in sd}
+    conv_key = ("patch_embed.proj.1.weight"
+                if "patch_embed.proj.1.weight" in keys
+                else "patch_embed.proj.weight")
+    w = sd[keys[conv_key]]
+    dim, ph = int(w.shape[0]), int(w.shape[3])
+    depth = 1 + max(int(k.split(".")[1]) for k in keys
+                    if k.startswith("blocks."))
+    for name, v in OMNIMAE_VARIANTS.items():
+        if (v["embed_dim"], v["depth"], v["patch_size"][1]) == (dim, depth,
+                                                                ph):
+            return name
+    raise ValueError(f"unrecognized OmniMAE trunk: dim={dim} depth={depth} "
+                     f"patch={ph}")
+
+
+def omnimae_vit(variant: str = "vit_base", **kw) -> OmniMAEViT:
+    """Factory mirroring vit_{base,large,huge}_mae_pretraining (trunk
+    encoder only — the MAE decoder/head is pretrain-dead for MPM)."""
+    return OmniMAEViT(**{**OMNIMAE_VARIANTS[variant], **kw})
+
+
 def convert_omnimae_state_dict(sd, depth: int = 12):
     """Torch trunk state dict -> flax params. Keys follow the reference
     trunk: patch_embed.proj.1 (Conv3d after PadIm2Video), blocks.N.*, norm."""

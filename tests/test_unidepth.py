@@ -3,6 +3,8 @@ Dinov2Model (the available oracle; the third-party `unidepth` package is
 not installable in this environment), SH ray-encoding math, camera head
 sanity, and the full infer() provider path."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -371,3 +373,50 @@ def test_decoder_golden_vs_torch_mirror():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(depth), ref_depth.numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_check_unidepth_cli(tmp_path):
+    """scripts/check_unidepth.py: the first-contact validation subcommand
+    (VERDICT r3 next-#9) — a clean mirror checkpoint reports OK (rc 0), a
+    renamed key reports the structured diff and rc 1, without ever
+    running the model."""
+    import subprocess
+    import sys
+
+    import torch
+    from transformers import Dinov2Config, Dinov2Model
+
+    torch.manual_seed(0)
+    dim, backbone_dim = 32, 64
+    mirror = _torch_mirror(dim=dim, backbone_dim=backbone_dim)
+    sd = {f"pixel_decoder.{k}": v for k, v in mirror.state_dict().items()}
+    enc = Dinov2Model(Dinov2Config(
+        hidden_size=backbone_dim, num_hidden_layers=4,
+        num_attention_heads=2, intermediate_size=128, image_size=518,
+        patch_size=14, layerscale_value=1.0)).eval()
+    sd.update({f"pixel_encoder.{k}": v for k, v in
+               enc.state_dict().items()})
+    good = tmp_path / "unidepth.pth"
+    torch.save(sd, good)
+
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "check_unidepth.py")
+    flags = ["--backbone_dim", "64", "--backbone_depth", "4",
+             "--backbone_heads", "2", "--hidden_dim", "32",
+             "--layer_ids", "0,1,2,3"]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    ok = subprocess.run([sys.executable, script, str(good)] + flags,
+                        capture_output=True, text=True, env=env)
+    assert ok.returncode == 0, ok.stdout + ok.stderr
+    assert "OK" in ok.stdout
+
+    bad_sd = dict(sd)
+    bad_sd["camera_head.blocks.0.q.weight_X"] = \
+        bad_sd.pop("pixel_decoder.camera_head.blocks.0.q.weight")
+    bad = tmp_path / "unidepth_bad.pth"
+    torch.save(bad_sd, bad)
+    fail = subprocess.run([sys.executable, script, str(bad)] + flags,
+                          capture_output=True, text=True, env=env)
+    assert fail.returncode == 1, fail.stdout + fail.stderr
+    assert "camera_head.blocks.0.q.weight" in fail.stdout
+    assert "FAILED" in fail.stdout
