@@ -31,6 +31,7 @@ lax.fori_loop and force a scalar readback; steps/sec = (N_hi - N_lo) /
 import json
 import math
 import os
+import sys
 import time
 
 import jax
@@ -650,7 +651,13 @@ def bench_train():
     mk = lambda *s: jnp.zeros(s, jnp.bfloat16)  # noqa: E731
     rng = jax.random.PRNGKey(1)
 
-    def measure(policy):
+    def measure(policy, split=False):
+        """``split=True`` compiles value_and_grad and the optimizer as TWO
+        jits instead of one fused step: this relay's server-side compiler
+        crashes (HTTP 500, tpu_compile_helper exit 1) on the fused
+        named-save-policy + AdamW graph at 30 layers, while the exact
+        same policy'd grad graph compiles standalone (bisected round 4) —
+        splitting sidesteps the crash for ~25 ms of extra dispatch."""
         cfg = dit_1_3b(motion_guidance=True, in_dim=64, model_type="i2v",
                        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                        remat=True, remat_policy=policy)
@@ -669,15 +676,27 @@ def bench_train():
         tx = optax.adamw(2e-5)
         opt_state = tx.init(params)
         tcfg = StraagTrainConfig(world_size=1, use_ema=False)
-        step = jax.jit(make_train_step(dit, tx, tcfg),
-                       donate_argnums=(0, 1, 2))
         ema = None
+        if split:
+            from more4d_tpu.train.train_straag import make_split_train_step
+
+            grad_fn, update_fn = make_split_train_step(dit, tx, tcfg)
+
+            def step_fn(params, opt_state, ema, batch, rng, gs):
+                loss, grads = grad_fn(params, batch, rng, gs)
+                # host-side abnormal-loss skip (should_skip_update) is a
+                # no-op here: synthetic batch, loss far below threshold
+                params, opt_state = update_fn(params, opt_state, grads, gs)
+                return params, opt_state, ema, {"loss": loss}
+        else:
+            step_fn = jax.jit(make_train_step(dit, tx, tcfg),
+                              donate_argnums=(0, 1, 2))
 
         def run():
             nonlocal params, opt_state, ema
             t0 = time.perf_counter()
-            params, opt_state, ema, m = step(params, opt_state, ema, batch,
-                                             rng, 10)
+            params, opt_state, ema, m = step_fn(params, opt_state, ema,
+                                                batch, rng, 10)
             _ = float(m["loss"])  # fence
             return time.perf_counter() - t0
 
@@ -692,20 +711,41 @@ def bench_train():
     # residuals OOM beside the AdamW state on a 16 GiB chip (measured).
     # Falls back to full-recompute 'nothing' on exhaustion.
     policy = os.environ.get("MORE4D_TRAIN_REMAT", "flash_lite")
+    split = policy != "nothing"
     fallback_err = None
     try:
-        dt, cfg = measure(policy)
+        dt, cfg = measure(policy, split=split)
     except Exception as e:
         # keep only the message: the exception's traceback pins the failed
         # attempt's frames — and with them ~14 GiB of params/optimizer
-        # arrays — which starved the fallback of HBM (round-4 dress run)
+        # arrays (round-4 dress run)
         fallback_err = f"{policy}: {type(e).__name__}: {str(e)[:120]}"
         e = None
     if fallback_err:
-        import gc
-        gc.collect()
-        policy = "nothing"
-        dt, cfg = measure(policy)
+        # A failed big attempt cannot be recovered IN-PROCESS on this
+        # relay: after a RESOURCE_EXHAUSTED execute, even deleting every
+        # live array + jax.clear_caches() left the next 1 MiB jnp.zeros
+        # RESOURCE_EXHAUSTED (round-4, twice) — the backend is poisoned
+        # until process exit.  Re-exec the leg with full-recompute
+        # 'nothing' in a FRESH subprocess and forward its numbers.
+        if os.environ.get("MORE4D_TRAIN_NO_FALLBACK") == "1":
+            raise RuntimeError(fallback_err)
+        import subprocess
+        env = dict(os.environ, MORE4D_BENCH_MODE="train",
+                   MORE4D_TRAIN_REMAT="nothing",
+                   MORE4D_TRAIN_NO_FALLBACK="1")
+        dl = _leg_deadline()  # inf outside the driver -> finite cap
+        to = max(dl - time.time(), 240) if math.isfinite(dl) else 600
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, env=env,
+                           timeout=to)
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if r.returncode != 0 or not line:
+            raise RuntimeError(f"{fallback_err}; fallback subprocess "
+                               f"rc={r.returncode}: {r.stderr[-200:]}")
+        out = json.loads(line[-1])["extra"]
+        out["remat_fallback"] = fallback_err
+        return out
     tokens = lt * (lh // 2) * (lw // 2)
     flops = 3 * dit_forward_flops(cfg, tokens, batch=1)
     peak = detect_tpu_peak()

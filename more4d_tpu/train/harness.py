@@ -168,6 +168,20 @@ class StraagTrainer:
         control_lat = self._encode(self.vae_params, control)
         depth_lat = self._encode(self.vae_params, depth)
 
+        # --add_full_ref_image_in_self_attention (train_wan.py:1816-1836):
+        # the ref image's first LATENT frame, prepended as ref_conv tokens,
+        # zeroed with 2% dropout.  Only produced when the DiT actually has
+        # the ref_conv path (the reference's shipped 4D config leaves
+        # add_ref_conv off, making its own flag a no-op).  The control
+        # video is the repeated first frame, so its frame-0 latents ARE
+        # the ref latents (captured before the control dropout below).
+        full_ref = None
+        if cfg.ref_conv:
+            keep_r = np.asarray(
+                [self.rng.choice([1.0, 0.0], p=[0.98, 0.02])
+                 for _ in samples], np.float32)
+            full_ref = control_lat[:, 0] * keep_r[:, None, None, None]
+
         # 2% control dropout per sample (train_wan.py:1791-1798)
         keep = np.asarray([self.rng.choice([0.0, 1.0], p=[rc.control_dropout,
                                                           1 - rc.control_dropout])
@@ -183,6 +197,8 @@ class StraagTrainer:
         context = self.encode_text(prompts).astype(jnp.float32)
 
         batch = {"latents": latents, "y": y, "context": context}
+        if full_ref is not None:
+            batch["full_ref"] = full_ref
 
         if self.encode_clip is not None:
             clip_fea = self.encode_clip(rgb01 * 2.0 - 1.0)

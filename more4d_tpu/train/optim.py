@@ -182,15 +182,20 @@ def motion_sub_loss(pred, target):
 
 
 class LossOutlierTracker:
-    """Host-side windowed mean+k*sigma outlier detector
-    (train_vae.py:35-106): skip a batch whose loss is non-finite or exceeds
-    mean + 6*std of the recent window."""
+    """Host-side windowed loss-outlier detector (train_vae.py:35-106,
+    should_skip_batch): skip a batch whose loss is non-finite, exceeds the
+    absolute threshold, or exceeds the window statistic — mean + sigma*std
+    normally, mean * multiplier when the window std is degenerate (<1e-6,
+    the reference's early-training guard)."""
 
     def __init__(self, window: int = 100, sigma: float = 6.0,
-                 warmup: int = 20):
+                 warmup: int = 20, absolute_threshold: float = 1e7,
+                 multiplier: float = 10.0):
         self.window = window
         self.sigma = sigma
         self.warmup = warmup
+        self.absolute_threshold = absolute_threshold
+        self.multiplier = multiplier
         self.values = []
 
     def should_skip(self, loss: float) -> bool:
@@ -198,12 +203,16 @@ class LossOutlierTracker:
 
         if not math.isfinite(loss):
             return True
+        if loss > self.absolute_threshold:       # train_vae.py:82
+            return True
         if len(self.values) >= self.warmup:
             import numpy as np
 
             mean = float(np.mean(self.values))
             std = float(np.std(self.values))
-            if loss > mean + self.sigma * std:
+            threshold = (mean * self.multiplier if std < 1e-6
+                         else mean + self.sigma * std)  # :93-97
+            if loss > threshold:
                 return True
         self.values.append(loss)
         if len(self.values) > self.window:

@@ -18,6 +18,7 @@ The VAE encode of flow pixels into latents and the 2% control dropout
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Optional
 
 import jax
@@ -144,7 +145,15 @@ def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,
             pred = dit.apply(p, zt, t, batch["context"], y=batch["y"],
                              y_camera=batch.get("y_camera"),
                              clip_fea=batch.get("clip_fea"),
-                             mpm_features=batch.get("mpm_features"))
+                             mpm_features=batch.get("mpm_features"),
+                             # --add_full_ref_image_in_self_attention
+                             # (train_wan.py:1816-1836,1948): first-frame
+                             # ref latents prepended as ref_conv tokens —
+                             # a no-op unless the DiT config enables
+                             # ref_conv, exactly like the reference
+                             # (its shipped 4D config leaves add_ref_conv
+                             # False, so :1948 passes into None)
+                             full_ref=batch.get("full_ref"))
             loss = custom_mse_loss(pred, target, weighting=loss_weight,
                                    threshold=cfg.mse_threshold)
             if cfg.motion_sub_loss:
@@ -205,3 +214,97 @@ def make_train_step(dit: WanDiT, tx: optax.GradientTransformation,
         return params, opt_state, ema, metrics
 
     return step
+
+
+def should_skip_update(loss: float, global_step: int,
+                       cfg: StraagTrainConfig) -> bool:
+    """Host-side abnormal-loss batch skip for the split train step — the
+    reference's own semantics (train_wan.py: the skip decision is made on
+    the host before optimizer.step).  The fused make_train_step instead
+    folds the same rule into the graph as a where-select, which is correct
+    but forces OLD params/opt to stay alive as operands of the select —
+    that alone is ~8 GiB at 1.3B+AdamW and is why the split path keeps the
+    rule on the host (full buffer donation in update_fn)."""
+    sched_step = global_step // max(cfg.grad_accum_steps, 1)
+    if not math.isfinite(loss):
+        return True
+    return bool(sched_step > cfg.abnormal_loss_start_step
+                and loss > cfg.abnormal_loss_threshold)
+
+
+def make_split_train_step(dit: WanDiT, tx: optax.GradientTransformation,
+                          cfg: StraagTrainConfig):
+    """make_train_step's semantics as TWO separately-jitted stages:
+
+        grad_fn(params, batch, rng, global_step) -> (loss, grads)
+        update_fn(params, opt_state, grads, global_step)
+            -> (params, opt_state)        [params/opt_state/grads donated]
+
+    The caller applies the abnormal-loss skip on the HOST (via
+    should_skip_update) by simply not calling update_fn — matching the
+    reference's host-side skip and keeping update_fn free of the
+    old-vs-new where-select so every input buffer is donatable (measured:
+    the in-graph select kept old params+opt alive through the update and
+    RESOURCE_EXHAUSTED'd a 16 GiB v5e at 1.3B that the select-free update
+    fits comfortably).
+
+    Purpose: this environment's TPU relay server-side compiler crashes
+    (HTTP 500, tpu_compile_helper exit 1) when a named-save remat policy
+    ('flash'/'flash_lite', wan_dit.remat_policy_of) and the AdamW update
+    share ONE compiled module at the 30-block scale, while the identical
+    policy'd value_and_grad compiles standalone (round-4 bisect).
+    Splitting sidesteps the crash for one extra dispatch (~25 ms here).
+    Numerics match the fused step minus EMA/per-param grad reports (use
+    make_train_step when the fused graph compiles on your stack)."""
+    sigmas = jnp.asarray(training_schedule(cfg.num_train_timesteps,
+                                           cfg.shift))
+    sampler = StratifiedTimestepSampler(
+        cfg.num_train_timesteps, uniform_sampling=cfg.uniform_sampling,
+        world_size=cfg.world_size)
+
+    def grad_fn(params, batch, rng, global_step, rank=0):
+        rng_t, rng_n = jax.random.split(rng)
+        x = batch["latents"].astype(jnp.float32)
+        b = x.shape[0]
+        if cfg.uniform_sampling:
+            idx = sampler(rng_t, b, rank)
+        else:
+            u = timestep_density_u(rng_t, cfg.weighting_scheme, b,
+                                   cfg.logit_mean, cfg.logit_std,
+                                   cfg.mode_scale)
+            idx = jnp.clip((u * cfg.num_train_timesteps).astype(jnp.int32),
+                           0, cfg.num_train_timesteps - 1)
+        sigma = sigmas[idx].reshape(b, 1, 1, 1, 1)
+        t = (sigmas[idx] * 1000.0).astype(jnp.float32)
+        loss_weight = loss_weighting_sd3(cfg.weighting_scheme, sigma)
+        noise = jax.random.normal(rng_n, x.shape, jnp.float32)
+        zt = (1.0 - sigma) * x + sigma * noise
+        target = noise - x
+
+        def loss_fn(p):
+            pred = dit.apply(p, zt, t, batch["context"], y=batch["y"],
+                             y_camera=batch.get("y_camera"),
+                             clip_fea=batch.get("clip_fea"),
+                             mpm_features=batch.get("mpm_features"),
+                             full_ref=batch.get("full_ref"))
+            loss = custom_mse_loss(pred, target, weighting=loss_weight,
+                                   threshold=cfg.mse_threshold)
+            if cfg.motion_sub_loss:
+                sub = motion_sub_loss(pred, target)
+                loss = loss * (1 - cfg.motion_sub_loss_ratio) \
+                    + sub * cfg.motion_sub_loss_ratio
+            return loss
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    def update_fn(params, opt_state, grads, global_step):
+        sched_step = global_step // max(cfg.grad_accum_steps, 1)
+        grads, gnorm, _ = dynamic_clip_norm(
+            grads, sched_step, cfg.max_grad_norm,
+            decay_steps=cfg.grad_clip_decay_steps)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    return (jax.jit(grad_fn),
+            jax.jit(update_fn, donate_argnums=(0, 1, 2)))

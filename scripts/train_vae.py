@@ -64,6 +64,10 @@ def parse_args():
     # (train_vae.py:71-106): tune the windowed statistical outlier skip
     p.add_argument("--loss_skip_std_multiplier", type=float, default=6.0)
     p.add_argument("--loss_skip_min_samples", type=int, default=20)
+    # absolute ceiling + degenerate-std fallback (train_vae.py:82,93-97)
+    p.add_argument("--loss_skip_absolute_threshold", type=float,
+                   default=1e7)
+    p.add_argument("--loss_skip_multiplier", type=float, default=10.0)
     p.add_argument("--loss_skip_window", type=int, default=100)
     return p.parse_args()
 
@@ -122,7 +126,10 @@ def run_training(vae, vae_params, enc, enc_params, dec, dec_params,
     tracker = LossOutlierTracker(
         window=getattr(args, "loss_skip_window", 100),
         sigma=getattr(args, "loss_skip_std_multiplier", 6.0),
-        warmup=getattr(args, "loss_skip_min_samples", 20))
+        warmup=getattr(args, "loss_skip_min_samples", 20),
+        absolute_threshold=getattr(args, "loss_skip_absolute_threshold",
+                                   1e7),
+        multiplier=getattr(args, "loss_skip_multiplier", 10.0))
     key = jax.random.PRNGKey(args.seed)
     global_step = 0
     if args.resume and mgr.latest_step() is not None:

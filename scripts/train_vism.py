@@ -92,6 +92,8 @@ def parse_args():
     p.add_argument("--lr_warmup_steps", type=int, default=0)
     p.add_argument("--adam_weight_decay", type=float, default=3e-2)
     p.add_argument("--adam_epsilon", type=float, default=1e-10)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
     p.add_argument("--max_steps", type=int, default=10000)
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--log_steps", type=int, default=20)
@@ -210,6 +212,8 @@ def run_training(dit, base_params, vae, vae_params, encode_text,
     else:
         tx = optax.adamw(
             schedule,
+            b1=getattr(args, "adam_beta1", 0.9),
+            b2=getattr(args, "adam_beta2", 0.999),
             weight_decay=getattr(args, "adam_weight_decay", 3e-2),
             eps=getattr(args, "adam_epsilon", 1e-10))
     if getattr(args, "grad_accum_steps", 1) > 1:

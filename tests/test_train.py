@@ -97,6 +97,28 @@ def test_loss_outlier_tracker():
     assert t.should_skip(float("nan"))
 
 
+def test_loss_outlier_tracker_absolute_and_degenerate_std():
+    """should_skip_batch parity (train_vae.py:82,87-97): the absolute
+    ceiling applies even before the statistical warmup, and a degenerate
+    window (std < 1e-6) falls back to mean * multiplier instead of
+    mean + sigma*std (which would reject everything above the mean)."""
+    t = LossOutlierTracker(window=50, sigma=6.0, warmup=5,
+                           absolute_threshold=1e7, multiplier=10.0)
+    # absolute threshold fires on the very first sample (train_vae.py:82)
+    assert t.should_skip(2e7)
+    assert not t.should_skip(1.0)
+
+    # constant window -> std == 0 -> threshold = mean * multiplier
+    t2 = LossOutlierTracker(window=50, sigma=6.0, warmup=5,
+                            multiplier=10.0)
+    for _ in range(10):
+        assert not t2.should_skip(1.0)
+    # > mean + 6*std (= 1.0) but < mean * 10 -> kept (the reference's
+    # early-training guard: without it nothing above the mean survives)
+    assert not t2.should_skip(5.0)
+    assert t2.should_skip(50.0)  # > mean * 10 -> skipped
+
+
 def test_sd3_loss_weighting_golden():
     """loss_weighting_sd3 vs a literal torch transcription of diffusers'
     compute_loss_weighting_for_sd3 (the reference applies it at
@@ -503,3 +525,115 @@ def test_scheduled_lr_drives_adamw_and_came():
         assert float(jnp.abs(upd0["w"]).max()) < 1e-9, name
         upd1, st = tx.update(g, st, p)
         assert float(jnp.abs(upd1["w"]).max()) > 1e-5, name
+
+
+def test_split_train_step_matches_fused():
+    """make_split_train_step (the relay server-compiler workaround for the
+    named-save remat policies) must produce the same params/loss as the
+    fused make_train_step on identical inputs."""
+    import optax
+
+    from more4d_tpu.config import dit_tiny
+    from more4d_tpu.models import WanDiT
+    from more4d_tpu.train.train_straag import (StraagTrainConfig,
+                                               make_split_train_step,
+                                               make_train_step,
+                                               should_skip_update)
+
+    cfg = dit_tiny(dtype=jnp.float32, in_dim=20, motion_guidance=False)
+    dit = WanDiT(cfg)
+    rs = np.random.RandomState(0)
+    batch = {
+        "latents": jnp.asarray(rs.randn(1, 2, 8, 8, 16), jnp.float32),
+        "y": jnp.asarray(rs.randn(1, 2, 8, 8, 4), jnp.float32),
+        "context": jnp.asarray(rs.randn(1, cfg.text_len, cfg.text_dim),
+                               jnp.float32),
+        "clip_fea": jnp.asarray(rs.randn(1, cfg.clip_tokens, cfg.clip_dim),
+                                jnp.float32),
+    }
+    params0 = dit.init(jax.random.PRNGKey(0), batch["latents"],
+                       jnp.zeros((1,)), batch["context"], y=batch["y"],
+                       clip_fea=batch["clip_fea"])
+    leaves, td = jax.tree_util.tree_flatten(params0)
+    params0 = jax.tree_util.tree_unflatten(
+        td, [jnp.asarray(rs.normal(0, 0.04, l.shape), l.dtype)
+             for l in leaves])
+    tx = optax.adamw(1e-4)
+    tcfg = StraagTrainConfig(world_size=1, use_ema=False)
+    rng = jax.random.PRNGKey(5)
+
+    fused = make_train_step(dit, tx, tcfg)
+    p_a, o_a, _, m_a = fused(params0, tx.init(params0), None, batch, rng,
+                             10)
+
+    grad_fn, update_fn = make_split_train_step(dit, tx, tcfg)
+    loss, grads = grad_fn(params0, batch, rng, 10)
+    assert not should_skip_update(float(loss), 10, tcfg)
+    p_b, o_b = update_fn(params0, tx.init(params0), grads, 10)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(loss), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_a),
+                    jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=2e-6)
+
+    # host-side skip rule == the fused step's in-graph where-select rule
+    assert should_skip_update(float("nan"), 0, tcfg)
+    big = tcfg.abnormal_loss_threshold * 2
+    assert should_skip_update(big, (tcfg.abnormal_loss_start_step + 1)
+                              * max(tcfg.grad_accum_steps, 1), tcfg)
+    assert not should_skip_update(big, 0, tcfg)  # before the start step
+
+
+def test_full_ref_conditioning_reaches_gradients():
+    """--add_full_ref_image_in_self_attention (train_wan.py:1816-1836,
+    :1948): with a ref_conv-enabled DiT, the training step consumes
+    batch['full_ref'] and gradients flow into the ref_conv patchifier;
+    the ref tokens also change the loss (non-no-op when the model has
+    the path — the reference's own shipped config leaves add_ref_conv
+    off, making the flag dead there)."""
+    import optax
+
+    from more4d_tpu.config import dit_tiny
+    from more4d_tpu.models import WanDiT
+    from more4d_tpu.train.train_straag import (StraagTrainConfig,
+                                               make_train_step)
+
+    cfg = dit_tiny(dtype=jnp.float32, in_dim=20, motion_guidance=False,
+                   ref_conv=True, ref_conv_dim=16)
+    dit = WanDiT(cfg)
+    rs = np.random.RandomState(1)
+    full_ref = jnp.asarray(rs.randn(1, 8, 8, 16), jnp.float32)
+    batch = {
+        "latents": jnp.asarray(rs.randn(1, 2, 8, 8, 16), jnp.float32),
+        "y": jnp.asarray(rs.randn(1, 2, 8, 8, 4), jnp.float32),
+        "context": jnp.asarray(rs.randn(1, cfg.text_len, cfg.text_dim),
+                               jnp.float32),
+        "clip_fea": jnp.asarray(rs.randn(1, cfg.clip_tokens, cfg.clip_dim),
+                                jnp.float32),
+        "full_ref": full_ref,
+    }
+    params = dit.init(jax.random.PRNGKey(0), batch["latents"],
+                      jnp.zeros((1,)), batch["context"], y=batch["y"],
+                      clip_fea=batch["clip_fea"], full_ref=full_ref)
+    leaves, td = jax.tree_util.tree_flatten(params)
+    params = jax.tree_util.tree_unflatten(
+        td, [jnp.asarray(rs.normal(0, 0.04, l.shape), l.dtype)
+             for l in leaves])
+    tx = optax.adamw(1e-4)
+    tcfg = StraagTrainConfig(world_size=1, use_ema=False)
+    step = make_train_step(dit, tx, tcfg)
+    rng = jax.random.PRNGKey(2)
+
+    p1, _, _, m1 = step(params, tx.init(params), None, batch, rng, 10)
+    # grads reached the ref patchifier: its params moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        params["params"]["ref_conv_layer"],
+        p1["params"]["ref_conv_layer"])
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+    # and the ref tokens affect the loss (same rng, different full_ref)
+    batch2 = dict(batch, full_ref=full_ref * 0.0)
+    _, _, _, m2 = step(params, tx.init(params), None, batch2, rng, 10)
+    assert float(m1["loss"]) != float(m2["loss"])

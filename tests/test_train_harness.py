@@ -231,6 +231,63 @@ def test_mpm_film_receives_gradient(models):
         "zero features must give zero adapter_1 kernel grad"
 
 
+def test_prepare_batch_full_ref():
+    """--add_full_ref_image_in_self_attention (train_wan.py:1816-1836):
+    with a ref_conv-enabled DiT, prepare_batch emits batch['full_ref'] ==
+    the frame-0 control latents (the control video is the repeated first
+    frame, so its first latent frame IS the ref latents), and the train
+    step consumes it end-to-end."""
+    import types
+
+    vcfg = VAEConfig(dim=4, z_dim=4, dim_mult=(1, 1, 2, 2),
+                     num_res_blocks=1,
+                     temporal_downsample=(False, True, True))
+    vae = WanVAE(vcfg)
+    vae_params = vae.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, T, H, W, 3), jnp.float32))
+    dcfg = dit_tiny(dtype=jnp.float32, in_dim=16, out_dim=4,
+                    motion_guidance=False, dim=32, ffn_dim=64, num_heads=2,
+                    num_layers=2, text_dim=16, clip_dim=16, text_len=8,
+                    ref_conv=True, ref_conv_dim=4)
+    dit = WanDiT(dcfg)
+    lt, lh, lw = (T - 1) // 4 + 1, H // 8, W // 8
+    x = jnp.zeros((1, lt, lh, lw, 4), jnp.float32)
+    y = jnp.zeros((1, lt, lh, lw, 12), jnp.float32)
+    ctx = jnp.zeros((1, 8, 16), jnp.float32)
+    clip = jnp.zeros((1, dcfg.clip_tokens, 16), jnp.float32)
+    fr = jnp.zeros((1, lh, lw, 4), jnp.float32)
+    params = dit.init(jax.random.PRNGKey(1), x, jnp.zeros((1,)), ctx, y=y,
+                      clip_fea=clip, full_ref=fr)
+    enc = VAEEncoderAdaptor()
+    enc_params = enc.init(jax.random.PRNGKey(2),
+                          jnp.zeros((1, T, H, W, 3), jnp.float32))
+    encode_text, encode_clip, _ = _tiny_encoders(dcfg)
+
+    mesh = create_mesh(MeshConfig(data=1, fsdp=-1, seq=1))
+    tcfg = StraagTrainConfig(world_size=1)
+    rcfg = StraagRunConfig(output_dir="/tmp/unused", batch_size=1,
+                           text_dropout=0.0, control_dropout=0.0,
+                           clip_dropout=0.0, seed=0)
+    trainer = StraagTrainer(dit, params, vae, vae_params, enc, enc_params,
+                            encode_text, mesh, tcfg, rcfg,
+                            encode_clip=encode_clip)
+    # force keep=1 on every dropout draw so full_ref is deterministic
+    trainer.rng = types.SimpleNamespace(choice=lambda o, p: max(o),
+                                        rand=lambda: 0.5)
+
+    s = _sample(5)
+    batch = trainer.prepare_batch([s], ["a train moves"])
+    assert "full_ref" in batch and batch["full_ref"].shape == (1, lh, lw, 4)
+    control_lat = trainer._encode(
+        trainer.vae_params, jnp.asarray(s.control_video)[None])
+    np.testing.assert_allclose(np.asarray(batch["full_ref"]),
+                               np.asarray(control_lat[:, 0]), rtol=1e-5)
+    # the jitted step consumes it: one finite step with the ref path live
+    p1, o1, e1, m = trainer.step_fn(trainer.params, trainer.opt_state,
+                                    trainer.ema, batch, trainer.key, 0)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_cli_batch_iterator(tmp_path):
     """The CLI's pkl -> batch path: write synthetic *_dt3d_pred.pkl files,
     iterate fixed-shape batches with prompts."""
