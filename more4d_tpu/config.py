@@ -61,9 +61,15 @@ class DiTConfig:
     #   the 1.3B 49f operating point;
     #   'flash_ffn': 'flash' plus the FFN hidden (fc1 out) — cheapest
     #   recompute, largest residency (+~170 MiB/block at 1.3B).
+    #   Any flash policy accepts an '_offload' suffix (e.g.
+    #   'flash_offload'): the saved residuals park in PINNED HOST memory
+    #   between forward and backward — same recompute cut at ~zero HBM
+    #   residency, paid as async D2H/H2D copies that ride under the step
+    #   (the on-device saved sets RESOURCE_EXHAUST beside AdamW at 1.3B
+    #   on a 16 GiB chip; the offload variants fit).
     # - remat_fraction: with scan_blocks=False, remat only an evenly-spaced
     #   fraction of blocks (ac_handle.py:16-64 literally).
-    remat_policy: str = "nothing"   # 'nothing' | 'dots' | 'flash' | 'flash_ffn'
+    remat_policy: str = "nothing"   # 'nothing'|'dots'|'flash[_lite|_ffn][_offload]'
     remat_fraction: float = 1.0                 # unscanned path only
     scan_blocks: bool = True                    # lax.scan over the block stack
     attention_backend: str = "auto"             # 'auto' | 'pallas' | 'xla'

@@ -83,7 +83,10 @@ def remat_policy_of(cfg: DiTConfig):
     they trade recompute FLOPs for activation residency only."""
     if cfg.remat_policy == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-    if cfg.remat_policy in ("flash", "flash_lite", "flash_ffn"):
+    policy = cfg.remat_policy or ""
+    offload = policy.endswith("_offload")
+    base = policy[:-len("_offload")] if offload else policy
+    if base in ("flash", "flash_lite", "flash_ffn"):
         # 'flash_lite' keeps only (o, lse) — the flash forward still never
         # re-runs (those ARE its remaining vjp residuals; q/k/v recompute
         # via the cheap qkv projection), at ~1/4 the saved bytes: the
@@ -91,10 +94,24 @@ def remat_policy_of(cfg: DiTConfig):
         # optimizer state (measured: 'flash' at 1.3B/49f/bs1 + AdamW
         # exhausts HBM, 'flash_lite' fits).
         names = ["sa_o", "sa_lse"]
-        if cfg.remat_policy in ("flash", "flash_ffn"):
+        if base in ("flash", "flash_ffn"):
             names = ["sa_q", "sa_k", "sa_v"] + names
-        if cfg.remat_policy == "flash_ffn":
+        if base == "flash_ffn":
             names.append("ffn_hidden")
+        if offload:
+            # '<base>_offload': the saved residuals PARK IN PINNED HOST
+            # MEMORY between forward and backward instead of HBM — same
+            # recompute cut at ~zero HBM residency, for one D2H copy in
+            # the forward and one H2D in the backward (XLA schedules both
+            # async; measured pinned-host BW here is 6.6-13.4 GB/s, so
+            # the 'flash' set's ~3.6 GiB rides under the ~1.5 s step).
+            # This is what makes the flash policies usable at 1.3B+AdamW
+            # on a 16 GiB chip, where the on-device saved set
+            # RESOURCE_EXHAUSTs (round-4 measurement).
+            return jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=[],
+                names_which_can_be_offloaded=names,
+                offload_src="device", offload_dst="pinned_host")
         return jax.checkpoint_policies.save_only_these_names(*names)
     return None
 

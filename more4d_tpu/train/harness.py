@@ -43,7 +43,8 @@ from ..data.sceneflow import SceneFlowSample
 from ..parallel.mesh import AXIS_DATA, data_sharding, fsdp_sharding
 from ..utils.metrics import MetricsLogger
 from .checkpoint import CheckpointManager
-from .train_straag import StraagTrainConfig, make_train_step
+from .train_straag import (StraagTrainConfig, make_split_train_step,
+                           make_train_step, should_skip_update)
 
 
 @dataclasses.dataclass
@@ -77,7 +78,8 @@ class StraagTrainer:
                  extract_mpm: Optional[Callable] = None,
                  tx=None, validation_pipeline=None,
                  trainable_filter: Optional[Callable[[str], bool]] = None,
-                 report_grad_norms: bool = False):
+                 report_grad_norms: bool = False,
+                 split_step: bool = False):
         import optax
 
         self.dit, self.vae = dit, vae
@@ -134,10 +136,24 @@ class StraagTrainer:
         # donate params/opt/ema: without donation the update holds OLD and
         # NEW copies of 3x model-size state simultaneously (~19 GiB at
         # 1.3B + AdamW on bf16) and OOMs the 16 GiB chip
-        self.step_fn = jax.jit(make_train_step(
-            dit, self.tx, tcfg, trainable_filter=trainable_filter,
-            report_grad_norms=report_grad_norms),
-            donate_argnums=(0, 1, 2))
+        self.split_step = split_step
+        if split_step:
+            # two-jit step (value_and_grad || AdamW update) with the
+            # abnormal-loss skip on the host — required on stacks whose
+            # server-side compiler rejects the fused named-save-remat +
+            # optimizer module (see make_split_train_step), and the only
+            # mode where the flash remat policies run at 1.3B on one
+            # 16 GiB chip.  Costs one scalar loss readback per step, so
+            # host-prep/device overlap shrinks by the readback latency.
+            self.grad_fn, self.update_fn = make_split_train_step(
+                dit, self.tx, tcfg, trainable_filter=trainable_filter,
+                report_grad_norms=report_grad_norms)
+            self.step_fn = self._split_step_call
+        else:
+            self.step_fn = jax.jit(make_train_step(
+                dit, self.tx, tcfg, trainable_filter=trainable_filter,
+                report_grad_norms=report_grad_norms),
+                donate_argnums=(0, 1, 2))
         # streamed (lax.scan) encode, matching pipelines/base.py and
         # train_vism: the fused full-sequence encoder materialises ~2 GB
         # activations per layer at 49f 368x512 and OOMs a 16 GiB chip
@@ -146,6 +162,23 @@ class StraagTrainer:
         self.rng = np.random.RandomState(run_cfg.seed)
         self.key = jax.random.PRNGKey(run_cfg.seed)
         self.global_step = 0
+
+    def _split_step_call(self, params, opt_state, ema, batch, rng,
+                         global_step):
+        """step_fn-compatible wrapper over the two-jit split step: the
+        abnormal-loss batch skip runs on the HOST (the reference's own
+        ordering — decide before optimizer.step), so a skipped batch never
+        dispatches the update at all."""
+        loss, grads = self.grad_fn(params, batch, rng, global_step)
+        if should_skip_update(float(loss), global_step, self.tcfg):
+            del grads
+            return params, opt_state, ema, {"loss": loss,
+                                            "grad_norm": 0.0,
+                                            "skipped": True}
+        params, opt_state, ema, m = self.update_fn(params, opt_state, ema,
+                                                   grads, global_step)
+        return params, opt_state, ema, {"loss": loss, "skipped": False,
+                                        **m}
 
     # ---- batch assembly (host + frozen towers) --------------------------
     def prepare_batch(self, samples: Sequence[SceneFlowSample],

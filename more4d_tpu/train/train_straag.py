@@ -233,36 +233,49 @@ def should_skip_update(loss: float, global_step: int,
 
 
 def make_split_train_step(dit: WanDiT, tx: optax.GradientTransformation,
-                          cfg: StraagTrainConfig):
+                          cfg: StraagTrainConfig,
+                          trainable_filter=None,
+                          report_grad_norms: bool = False):
     """make_train_step's semantics as TWO separately-jitted stages:
 
         grad_fn(params, batch, rng, global_step) -> (loss, grads)
-        update_fn(params, opt_state, grads, global_step)
-            -> (params, opt_state)        [params/opt_state/grads donated]
+        update_fn(params, opt_state, ema, grads, global_step)
+            -> (params, opt_state, ema, metrics)
+               [opt_state/ema/grads donated; metrics: grad_norm(, norms)]
 
     The caller applies the abnormal-loss skip on the HOST (via
     should_skip_update) by simply not calling update_fn — matching the
     reference's host-side skip and keeping update_fn free of the
-    old-vs-new where-select so every input buffer is donatable (measured:
-    the in-graph select kept old params+opt alive through the update and
-    RESOURCE_EXHAUSTED'd a 16 GiB v5e at 1.3B that the select-free update
-    fits comfortably).
+    old-vs-new where-select.
 
     Purpose: this environment's TPU relay server-side compiler crashes
     (HTTP 500, tpu_compile_helper exit 1) when a named-save remat policy
     ('flash'/'flash_lite', wan_dit.remat_policy_of) and the AdamW update
     share ONE compiled module at the 30-block scale, while the identical
     policy'd value_and_grad compiles standalone (round-4 bisect).
-    Splitting sidesteps the crash for one extra dispatch (~25 ms here).
-    Numerics match the fused step minus EMA/per-param grad reports (use
-    make_train_step when the fused graph compiles on your stack)."""
+    Splitting sidesteps the crash for one extra dispatch plus the host
+    loss readback between the two stages (which the skip rule needs
+    anyway).  Numerics match the fused step
+    (test_train.py::test_split_train_step_matches_fused)."""
     sigmas = jnp.asarray(training_schedule(cfg.num_train_timesteps,
                                            cfg.shift))
     sampler = StratifiedTimestepSampler(
         cfg.num_train_timesteps, uniform_sampling=cfg.uniform_sampling,
         world_size=cfg.world_size)
+    mask_tree = None
+
+    def _trainable_mask(params):
+        def walk(t, prefix=""):
+            if isinstance(t, dict):
+                return {k: walk(v, f"{prefix}/{k}" if prefix else k)
+                        for k, v in t.items()}
+            return bool(trainable_filter(prefix))
+        return walk(params)
 
     def grad_fn(params, batch, rng, global_step, rank=0):
+        nonlocal mask_tree
+        if trainable_filter and mask_tree is None:
+            mask_tree = _trainable_mask(params)
         rng_t, rng_n = jax.random.split(rng)
         x = batch["latents"].astype(jnp.float32)
         b = x.shape[0]
@@ -282,6 +295,10 @@ def make_split_train_step(dit: WanDiT, tx: optax.GradientTransformation,
         target = noise - x
 
         def loss_fn(p):
+            if trainable_filter:
+                p = jax.tree_util.tree_map(
+                    lambda v, m: v if m else jax.lax.stop_gradient(v),
+                    p, mask_tree)
             pred = dit.apply(p, zt, t, batch["context"], y=batch["y"],
                              y_camera=batch.get("y_camera"),
                              clip_fea=batch.get("clip_fea"),
@@ -297,14 +314,47 @@ def make_split_train_step(dit: WanDiT, tx: optax.GradientTransformation,
 
         return jax.value_and_grad(loss_fn)(params)
 
-    def update_fn(params, opt_state, grads, global_step):
+    def update_fn(params, opt_state, ema, grads, global_step):
+        nonlocal mask_tree
+        if trainable_filter and mask_tree is None:
+            mask_tree = _trainable_mask(params)
         sched_step = global_step // max(cfg.grad_accum_steps, 1)
-        grads, gnorm, _ = dynamic_clip_norm(
-            grads, sched_step, cfg.max_grad_norm,
-            decay_steps=cfg.grad_clip_decay_steps)
+        if cfg.clip_in_tx:
+            gnorm = global_grad_norm(grads)
+        else:
+            grads, gnorm, _ = dynamic_clip_norm(
+                grads, sched_step, cfg.max_grad_norm,
+                decay_steps=cfg.grad_clip_decay_steps)
         updates, opt_state = tx.update(grads, opt_state, params)
+        if trainable_filter:
+            updates = jax.tree_util.tree_map(
+                lambda u, m: u if m else jnp.zeros_like(u),
+                updates, mask_tree)
         params = optax.apply_updates(params, updates)
-        return params, opt_state
+        if ema is not None:
+            new_ema = ema_update(ema, params, cfg.ema_decay)
+            ms = getattr(opt_state, "mini_step", None)
+            if ms is not None:
+                new_ema = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(ms == 0, n, o), new_ema, ema)
+            ema = new_ema
+        metrics = {"grad_norm": gnorm}
+        if report_grad_norms:
+            flat, _ = jax.tree_util.tree_flatten_with_path(grads)
+            metrics["grad_norms"] = {
+                jax.tree_util.keystr(kp):
+                    jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+                for kp, g in flat}
+        return params, opt_state, ema, metrics
 
+    # Donate opt_state + ema + grads but NOT params: inputs then donate
+    # exactly as many param-tree-sized buffer sets (mu, nu[, ema], grads)
+    # as there are outputs (params', mu', nu'[, ema']) — params' aliases
+    # the grads buffer.  Donating params too (one more donated set than
+    # outputs) leaves one donated set "not usable", and this relay's
+    # allocator LEAKS it: measured round 4, step 0 succeeds and step 1
+    # RESOURCE_EXHAUSTs with ANY remat policy, exactly a ~2.8 GiB/step
+    # leak at 1.3B.  params is an operand of the AdamW math regardless,
+    # so excluding it costs nothing.
     return (jax.jit(grad_fn),
-            jax.jit(update_fn, donate_argnums=(0, 1, 2)))
+            jax.jit(update_fn, donate_argnums=(1, 2, 3)))

@@ -114,6 +114,18 @@ def parse_args():
     p.add_argument("--report_model_info", action="store_true",
                    help="log per-parameter grad norms "
                         "(train_wan.py:2003-2012)")
+    # selective activation checkpointing (reference ac_handle.py); the
+    # flash policies need --split_step on stacks whose server compiler
+    # rejects the fused named-save-remat + optimizer module, and the
+    # '_offload' variants park the residuals in pinned host memory
+    p.add_argument("--remat_policy", default="nothing",
+                   choices=["nothing", "dots", "flash", "flash_lite",
+                            "flash_ffn", "flash_offload",
+                            "flash_lite_offload", "flash_ffn_offload"])
+    p.add_argument("--split_step", action="store_true",
+                   help="compile value_and_grad and the optimizer update "
+                        "as two jits with the abnormal-loss skip on the "
+                        "host (make_split_train_step)")
     p.add_argument("--max_grad_norm", type=float, default=0.05)
     p.add_argument("--max_steps", type=int, default=10000)
     p.add_argument("--checkpointing_steps", type=int, default=500)
@@ -218,7 +230,7 @@ def main():
 
     make_dit = dit_14b if args.model_size == "14b" else dit_1_3b
     cfg = make_dit(motion_guidance=True, in_dim=64, model_type="i2v",
-                   remat=True)
+                   remat=True, remat_policy=args.remat_policy)
     import jax.numpy as jnp
 
     fdt = jnp.bfloat16 if args.frozen_dtype == "bf16" else None
@@ -310,7 +322,8 @@ def main():
         extract_mpm=encoders.extract_mpm, tx=tx,
         validation_pipeline=validation_pipeline,
         trainable_filter=trainable_filter,
-        report_grad_norms=args.report_model_info)
+        report_grad_norms=args.report_model_info,
+        split_step=args.split_step)
 
     files = sorted(glob.glob(os.path.join(args.data_dir,
                                           "*_dt3d_pred.pkl")))

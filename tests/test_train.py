@@ -569,9 +569,13 @@ def test_split_train_step_matches_fused():
     grad_fn, update_fn = make_split_train_step(dit, tx, tcfg)
     loss, grads = grad_fn(params0, batch, rng, 10)
     assert not should_skip_update(float(loss), 10, tcfg)
-    p_b, o_b = update_fn(params0, tx.init(params0), grads, 10)
+    p_b, o_b, ema_b, m_b = update_fn(params0, tx.init(params0), None,
+                                     grads, 10)
+    assert ema_b is None
 
     np.testing.assert_allclose(float(m_a["loss"]), float(loss), rtol=1e-6)
+    np.testing.assert_allclose(float(m_a["grad_norm"]),
+                               float(m_b["grad_norm"]), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p_a),
                     jax.tree_util.tree_leaves(p_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
@@ -583,6 +587,25 @@ def test_split_train_step_matches_fused():
     assert should_skip_update(big, (tcfg.abnormal_loss_start_step + 1)
                               * max(tcfg.grad_accum_steps, 1), tcfg)
     assert not should_skip_update(big, 0, tcfg)  # before the start step
+
+    # EMA + trainable_filter parity (the harness's full split mode)
+    tcfg_e = StraagTrainConfig(world_size=1, use_ema=True, ema_decay=0.9)
+    filt = lambda path: "blocks" in path  # noqa: E731
+    fused_e = make_train_step(dit, tx, tcfg_e, trainable_filter=filt)
+    p_a2, o_a2, ema_a2, m_a2 = fused_e(
+        params0, tx.init(params0),
+        jax.tree_util.tree_map(jnp.copy, params0), batch, rng, 10)
+    g2, u2 = make_split_train_step(dit, tx, tcfg_e, trainable_filter=filt)
+    loss2, grads2 = g2(params0, batch, rng, 10)
+    p_b2, o_b2, ema_b2, _ = u2(params0, tx.init(params0),
+                               jax.tree_util.tree_map(jnp.copy, params0),
+                               grads2, 10)
+    np.testing.assert_allclose(float(m_a2["loss"]), float(loss2),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves((p_a2, ema_a2)),
+                    jax.tree_util.tree_leaves((p_b2, ema_b2))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=2e-6)
 
 
 def test_full_ref_conditioning_reaches_gradients():

@@ -163,6 +163,61 @@ def test_harness_end_to_end(models, tmp_path):
                                        "validation_3.gif"))
 
 
+def test_harness_split_step_mode(models, tmp_path):
+    """split_step=True drives the loop through the two-jit step
+    (make_split_train_step) with the abnormal-loss skip on the host:
+    finite losses, params actually move, EMA tracked; a threshold
+    engineered to always fire skips the update entirely (params
+    bit-identical, metrics say skipped)."""
+    dit, dcfg, params, vae, vae_params, enc, enc_params = models
+    encode_text, encode_clip, extract_mpm = _tiny_encoders(dcfg)
+    mesh = create_mesh(MeshConfig(data=2, fsdp=-1, seq=1))
+    tcfg = StraagTrainConfig(learning_rate=1e-4, world_size=2,
+                             abnormal_loss_threshold=1e9, use_ema=True)
+    rcfg = StraagRunConfig(output_dir=str(tmp_path / "out"), batch_size=2,
+                           max_steps=2, checkpointing_steps=100,
+                           log_steps=1, seed=0)
+    trainer = StraagTrainer(dit, params, vae, vae_params, enc, enc_params,
+                            encode_text, mesh, tcfg, rcfg,
+                            encode_clip=encode_clip,
+                            extract_mpm=extract_mpm, split_step=True)
+    p0 = jax.tree_util.tree_map(np.asarray, trainer.params)
+
+    def batches():
+        i = 0
+        while True:
+            yield ([_sample(i), _sample(i + 1)], ["a cat", "a pan"])
+            i += 2
+
+    trainer.train(batches())
+    assert trainer.global_step == 2
+    lines = [json.loads(l) for l in
+             open(os.path.join(rcfg.output_dir, "metrics.jsonl"))]
+    losses = [l["train/loss"] for l in lines if "train/loss" in l]
+    assert len(losses) == 2 and all(np.isfinite(losses))
+    assert all(l["train/skipped"] == 0.0 for l in lines
+               if "train/skipped" in l)
+    moved = max(float(np.abs(np.asarray(a) - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(trainer.params),
+        jax.tree_util.tree_leaves(p0)))
+    assert moved > 0
+    assert trainer.ema is not None
+
+    # forced skip: threshold below any real loss -> host-side skip leaves
+    # params bit-identical and never dispatches the update
+    import dataclasses as dc
+    trainer.tcfg = dc.replace(tcfg, abnormal_loss_threshold=1e-9,
+                              abnormal_loss_start_step=-1)
+    batch = trainer.prepare_batch([_sample(7), _sample(8)], ["a", "b"])
+    p_before = jax.tree_util.tree_map(np.asarray, trainer.params)
+    p_after, _, _, m = trainer.step_fn(trainer.params, trainer.opt_state,
+                                       trainer.ema, batch, trainer.key, 5)
+    assert m["skipped"] is True
+    for a, b in zip(jax.tree_util.tree_leaves(p_after),
+                    jax.tree_util.tree_leaves(p_before)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
 def test_mpm_film_receives_gradient(models):
     """With REAL mpm features the FiLM projection gets nonzero gradient
     (gate perturbed off the zero-init saddle, as in finetuning from the

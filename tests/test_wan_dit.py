@@ -200,6 +200,10 @@ def test_remat_policies_numerically_identical():
                dict(remat=True, remat_policy="flash"),
                dict(remat=True, remat_policy="flash_lite"),
                dict(remat=True, remat_policy="flash_ffn"),
+               # '_offload' variants: identical values, residuals parked
+               # in pinned host memory between fwd and bwd
+               dict(remat=True, remat_policy="flash_offload"),
+               dict(remat=True, remat_policy="flash_ffn_offload"),
                dict(remat=True, remat_policy="flash",
                     attention_backend="pallas_interpret"),
                dict(remat=True, scan_blocks=False, remat_fraction=0.5),
