@@ -47,8 +47,7 @@ NUM_SUBLANES = 8  # lse/delta row vectors are stored [bh, 8, Lq] (q on
 
 def _flash_fwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                       m_scr, l_scr, acc_scr, *,
-                      sm_scale: float, block_k: int, num_heads: int,
-                      masked: bool):
+                      block_k: int, num_heads: int, masked: bool):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -58,19 +57,30 @@ def _flash_fwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]                      # [bq, D]
+    q = q_ref[0]                      # [bq, D], pre-scaled by scale*log2e
     k = k_ref[0]                      # [bk, D]
     v = v_ref[0]                      # [bk, D]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    s = s * (sm_scale * LOG2E)
 
     if masked:
+        # Mask ONLY blocks that straddle/exceed kv_len (scalar predicate,
+        # resolved per block): interior blocks skip the iota/compare/
+        # select entirely.  The softmax tail is VPU-bound at these shapes,
+        # and the DiT always passes a (full-length) kv_lens while Lk never
+        # divides the tile — without the gate every score element paid
+        # ~3 extra VPU ops.
         b = pl.program_id(0) // num_heads
         kv_len = kv_lens_ref[b]
-        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
+
+        def _mask(s):
+            col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                          s.shape, 1)
+            return jnp.where(col < kv_len, s, NEG_INF)
+
+        s = jax.lax.cond((ki + 1) * block_k > kv_len, _mask,
+                         lambda s: s, s)
 
     m_prev = m_scr[:]
     l_prev = l_scr[:]
@@ -140,10 +150,13 @@ def _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k, interpret):
     kp = kp.reshape(b * h, lkp, d)
     vp = vp.reshape(b * h, lkp, d)
 
+    # fold scale*log2e into q once (L*D elements, fused into the pad by
+    # XLA) instead of multiplying every L^2 score element in-kernel
+    qp = qp * jnp.asarray(sm_scale * LOG2E, qp.dtype)
+
     grid = (b * h, lqp // block_q, lkp // block_k)
     kernel = functools.partial(
-        _flash_fwd_kernel, sm_scale=sm_scale, block_k=block_k,
-        num_heads=h, masked=masked)
+        _flash_fwd_kernel, block_k=block_k, num_heads=h, masked=masked)
 
     out, lse = pl.pallas_call(
         kernel,
@@ -190,17 +203,23 @@ def _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k, interpret):
 
 
 def _bwd_pt_block(q, k, lse_row, kv_lens_ref, ki, num_heads, block_k,
-                  sm_scale, masked):
-    """Recompute p^T [bk, bq] for one (q block, k block) pair."""
+                  masked):
+    """Recompute p^T [bk, bq] for one (q block, k block) pair.  q arrives
+    pre-scaled by sm_scale*log2e (see _flash_backward); the kv mask is
+    gated on a scalar block predicate like the forward."""
     s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    s_t = s_t * (sm_scale * LOG2E)
     if masked:
         b = pl.program_id(0) // num_heads
         kv_len = kv_lens_ref[b]
-        row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32,
-                                                      s_t.shape, 0)
-        s_t = jnp.where(row < kv_len, s_t, NEG_INF)
+
+        def _mask(s_t):
+            row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                          s_t.shape, 0)
+            return jnp.where(row < kv_len, s_t, NEG_INF)
+
+        s_t = jax.lax.cond((ki + 1) * block_k > kv_len, _mask,
+                           lambda s: s, s_t)
     return jnp.exp2(s_t - lse_row[None, :])
 
 
@@ -223,7 +242,7 @@ def _flash_bwd_dq_kernel(kv_lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_row = delta_ref[0, 0, :]
 
     p_t = _bwd_pt_block(q, k, lse_row, kv_lens_ref, ki, num_heads, block_k,
-                        sm_scale, masked)                     # [bk, bq]
+                        masked)                               # [bk, bq]
     # dp^T = v @ do^T
     dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
@@ -259,20 +278,23 @@ def _flash_bwd_dkv_kernel(kv_lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_row = delta_ref[0, 0, :]
 
     p_t = _bwd_pt_block(q, k, lse_row, kv_lens_ref, ki, num_heads, block_k,
-                        sm_scale, masked)                     # [bk, bq]
+                        masked)                               # [bk, bq]
     dv_scr[:] += jax.lax.dot_general(
         p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                   # [bk, D]
     dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     ds_t = p_t * (dp_t - delta_row[None, :]) * sm_scale
+    # q is pre-scaled by scale*log2e, so this accumulates dk * scale*log2e;
+    # the finalize divides it back out IN THE fp32 SCRATCH (free + exact)
     dk_scr[:] += jax.lax.dot_general(
         ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                   # [bk, D]
 
     @pl.when(qi == nq - 1)
     def _finalize():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dk_ref[0] = (dk_scr[:] * (1.0 / (LOG2E * sm_scale))).astype(
+            dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
@@ -302,6 +324,9 @@ def _flash_backward(q, k, v, kv_lens, o, lse, g, sm_scale, block_q, block_k,
     vp = vp.reshape(b * h, lkp, d)
     gp = gp.reshape(b * h, lqp, d)
     op = op.reshape(b * h, lqp, d)
+    # pre-scale q once (matches the forward; see _bwd_pt_block).  The dk
+    # accumulator divides the factor back out in its fp32 finalize.
+    qp = qp * jnp.asarray(sm_scale * LOG2E, qp.dtype)
 
     # delta_i = sum_d dO_i O_i — one cheap fused elementwise+reduce pass,
     # broadcast to the [bh, 8, Lq] row-vector layout.

@@ -94,6 +94,13 @@ def parse_args():
     p.add_argument("--adam_epsilon", type=float, default=1e-10)
     p.add_argument("--adam_beta1", type=float, default=0.9)
     p.add_argument("--adam_beta2", type=float, default=0.999)
+    # selective activation checkpointing (see train_straag --remat_policy);
+    # LoRA training's backward is dominated by the frozen-base recompute,
+    # so the flash/offload policies apply here too
+    p.add_argument("--remat_policy", default="nothing",
+                   choices=["nothing", "dots", "flash", "flash_lite",
+                            "flash_ffn", "flash_offload",
+                            "flash_lite_offload", "flash_ffn_offload"])
     p.add_argument("--max_steps", type=int, default=10000)
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--log_steps", type=int, default=20)
@@ -338,7 +345,7 @@ def main():
 
     make_dit = dit_14b if args.model_size == "14b" else dit_1_3b
     cfg = make_dit(motion_guidance=False, in_dim=36, model_type="i2v",
-                   remat=True)
+                   remat=True, remat_policy=args.remat_policy)
     import jax.numpy as jnp
 
     from more4d_tpu.utils import cast_float_leaves
