@@ -65,22 +65,16 @@ def _flash_fwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                             preferred_element_type=jnp.float32)
 
     if masked:
-        # Mask ONLY blocks that straddle/exceed kv_len (scalar predicate,
-        # resolved per block): interior blocks skip the iota/compare/
-        # select entirely.  The softmax tail is VPU-bound at these shapes,
-        # and the DiT always passes a (full-length) kv_lens while Lk never
-        # divides the tile — without the gate every score element paid
-        # ~3 extra VPU ops.
+        # Unconditional kv-length mask.  NOTE: do NOT gate this behind a
+        # jax.lax.cond on a "block is interior" scalar predicate — the cond
+        # duplicates the [bq, bk] fp32 score block's liveness and blows the
+        # 16 MiB scoped-VMEM limit at the production tile (bq=512, bk=4864:
+        # 26.95M requested; zeroed BENCH_r04).  The plain where costs ~3 VPU
+        # ops/element but compiles everywhere and benched 1.2551 steps/s.
         b = pl.program_id(0) // num_heads
         kv_len = kv_lens_ref[b]
-
-        def _mask(s):
-            col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32,
-                                                          s.shape, 1)
-            return jnp.where(col < kv_len, s, NEG_INF)
-
-        s = jax.lax.cond((ki + 1) * block_k > kv_len, _mask,
-                         lambda s: s, s)
+        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_scr[:]
     l_prev = l_scr[:]
@@ -205,21 +199,17 @@ def _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k, interpret):
 def _bwd_pt_block(q, k, lse_row, kv_lens_ref, ki, num_heads, block_k,
                   masked):
     """Recompute p^T [bk, bq] for one (q block, k block) pair.  q arrives
-    pre-scaled by sm_scale*log2e (see _flash_backward); the kv mask is
-    gated on a scalar block predicate like the forward."""
+    pre-scaled by sm_scale*log2e (see _flash_backward).  The kv mask is
+    applied unconditionally — see the forward kernel's note on why a
+    lax.cond block gate VMEM-OOMs at production tiles."""
     s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     if masked:
         b = pl.program_id(0) // num_heads
         kv_len = kv_lens_ref[b]
-
-        def _mask(s_t):
-            row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32,
-                                                          s_t.shape, 0)
-            return jnp.where(row < kv_len, s_t, NEG_INF)
-
-        s_t = jax.lax.cond((ki + 1) * block_k > kv_len, _mask,
-                           lambda s: s, s_t)
+        row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                      s_t.shape, 0)
+        s_t = jnp.where(row < kv_len, s_t, NEG_INF)
     return jnp.exp2(s_t - lse_row[None, :])
 
 
