@@ -19,8 +19,11 @@ Reported alongside steps/s in the ONE default JSON line (VERDICT r2 weak
 - vs_baseline compares against the committed bench_baseline.json (round-1
   measured value), no longer self-referential.
 
-MORE4D_BENCH_MODE selects a single leg ("two_stage"|"train"|"teacache");
-MORE4D_BENCH_{14B,E2E,TRAIN}=0 skips a leg of the default run.
+MORE4D_BENCH_MODE selects a single leg ("canary"|"two_stage"|"train"|
+"teacache"|...; see _LEGS); MORE4D_BENCH_{14B,E2E,TRAIN}=0 skips a leg of
+the default run.  The "canary" leg (also run FIRST in the default run)
+compiles+executes the production-tile flash-attention graphs — the
+1-minute loud failure for the kernel-regression class that zeroed r4.
 
 Methodology note: this environment's PJRT relay makes dispatch fully async
 and adds ~tens of ms per call, so we chain N denoise steps inside ONE jitted
@@ -62,6 +65,82 @@ def relay_health():
     t0 = time.perf_counter()
     float(g(m))
     out["relay_matmul_2k_ms"] = round(1e3 * (time.perf_counter() - t0), 1)
+    return out
+
+
+def bench_canary():
+    """Production-tile kernel canary (VERDICT r4 #3): compile AND execute,
+    on the real backend, every flash-attention graph shape the heavy legs
+    depend on, at the exact operating point (B=2 CFG, H=12, L=9568, D=128,
+    bf16) — fwd (block_q=512, adaptive block_k=4864), fwd+bwd via jax.grad
+    (fixed bwd block_k=1024), and fwd+bwd under the trainer's named-save
+    remat policies ('flash_lite' and its pinned-host '_offload' variant).
+
+    The round-4 regression class — a kernel edit whose scoped-VMEM demand
+    exceeds the 16 MiB limit ONLY at production tiles, invisible to the
+    CPU interpret-mode numerics tests — becomes a <60 s (warm-cache) loud
+    failure that names the tile and the failing graph, instead of five
+    dead bench legs.  Runs FIRST in the default bench; also exposed as
+    MORE4D_BENCH_MODE=canary and pytest -m tpu (tests/test_canary_tpu.py).
+    Reference hot path being guarded: wan_transformer4d.py:66-172."""
+    from more4d_tpu.kernels.flash_attention import (_adaptive_block_k,
+                                                    flash_attention)
+
+    b, l, h, d = 2, 9568, 12, 128
+    bq, bk = 512, _adaptive_block_k(l)
+    tile = (f"block_q={bq} block_k_fwd={bk} block_k_bwd=1024 "
+            f"B={b} H={h} L={l} D={d} bf16")
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (b, l, h, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, l, h, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, l, h, d), jnp.bfloat16)
+    lens = jnp.full((b,), l, jnp.int32)
+    out = {"tile": tile, "backend": jax.default_backend(), "ok": False}
+
+    def check(tag, thunk):
+        t0 = time.perf_counter()
+        try:
+            val = thunk()
+            if not np.isfinite(val):
+                raise FloatingPointError(f"non-finite output ({val})")
+        except Exception as e:
+            out[tag] = f"FAILED: {type(e).__name__}: {str(e)[:300]}"
+            raise RuntimeError(
+                f"KERNEL CANARY FAILED [{tag}] at production tile "
+                f"({tile}): {type(e).__name__}: {str(e)[:500]}") from e
+        out[tag] = {"ok": True, "s": round(time.perf_counter() - t0, 1)}
+
+    fwd = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, kv_lens=lens, block_q=bq))
+    check("fwd", lambda: float(jnp.sum(fwd(q, k, v).astype(jnp.float32))))
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_lens=lens,
+                                       block_q=bq).astype(jnp.float32))
+
+    gfn = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    check("fwd_bwd", lambda: float(jnp.sum(
+        gfn(q, k, v)[0].astype(jnp.float32))))
+
+    # the graphs the train legs actually compile: the kernel under
+    # jax.checkpoint with the named-(o,lse) save policy and its
+    # pinned-host offload variant (wan_dit.remat_policy_of; the 'sa'
+    # residual tag matches WanSelfAttention's)
+    from more4d_tpu.config import dit_1_3b
+    from more4d_tpu.models.wan_dit import remat_policy_of
+
+    for pol in ("flash_lite", "flash_lite_offload"):
+        policy = remat_policy_of(dit_1_3b(remat=True, remat_policy=pol))
+        wrapped = jax.checkpoint(
+            lambda q, k, v: flash_attention(q, k, v, kv_lens=lens,
+                                            block_q=bq, ckpt_name="sa"),
+            policy=policy)
+        gpol = jax.jit(jax.grad(
+            lambda q, k, v: jnp.sum(wrapped(q, k, v).astype(jnp.float32)),
+            argnums=(0, 1, 2)))
+        check(f"fwd_bwd_{pol}", lambda gpol=gpol: float(jnp.sum(
+            gpol(q, k, v)[0].astype(jnp.float32))))
+    out["ok"] = True
     return out
 
 
@@ -151,6 +230,18 @@ def bench_14b_measured():
 def _leg_deadline():
     """Absolute epoch deadline for the current leg (inf when run manually)."""
     return float(os.environ.get("MORE4D_BENCH_LEG_DEADLINE", "inf"))
+
+
+def _emit_partial(metric, extra, stage):
+    """Print an intermediate JSON line so a hard-killed leg still reports
+    every phase it finished: the parent salvages the last parseable line
+    from a TimeoutExpired's captured stdout (_run_leg_subprocess).  This is
+    what finally lands stage-1 two_stage numbers in a driver capture even
+    when the slice dies mid-stage-2 (the r2/r3/r4 failure mode)."""
+    out = dict(extra)
+    out["partial_through"] = stage
+    print(json.dumps({"metric": metric, "extra": out, "partial": True}),
+          flush=True)
 
 
 def bench_denoise():
@@ -335,6 +426,7 @@ def bench_two_stage():
     # stage 1: 50-step CFG-doubled control denoise + VAE decode
     control = jnp.broadcast_to(image[None, None], (1, t_frames, h, w, 3))
     timings["stage1_teacache_ncalc"] = pinned_ncalc(dit4, p4)
+    _emit_partial("two_stage_e2e_seconds", timings, "setup")
 
     def run_stage1():
         t0 = time.perf_counter()
@@ -361,10 +453,28 @@ def bench_two_stage():
     def remaining():
         return deadline - time.time()
 
+    def partial(stage):
+        """Emit the phases measured so far, with an honestly-labelled
+        stage-2 estimate + totals whenever stage 1 has landed, so even a
+        killed leg yields a complete (estimated) e2e figure."""
+        t = dict(timings)
+        if "stage1_s" in t and "stage2_per_traj_s" not in t:
+            t["stage2_per_traj_s"] = round(0.8 * t["stage1_s"], 2)
+            t["stage2_estimated"] = True
+            t["e2e_method"] = ("stage-2 ESTIMATED at 0.8x the measured "
+                               "stage-1 wall (partial emission: the leg "
+                               "was still running later phases)")
+        if all(k in t for k in ("depth_lift_s", "stage1_s",
+                                "render_per_traj_s", "stage2_per_traj_s")):
+            _two_stage_totals(t)
+        _emit_partial("two_stage_e2e_seconds", t, stage)
+
     timings["stage1_compile_s"] = round(run_stage1(), 2)
+    partial("stage1_compile")
     s1 = [round(run_stage1(), 2) for _ in range(n_runs)]
     timings["stage1_runs"] = s1           # spread visible, not averaged away
     timings["stage1_s"] = round(float(_np.median(s1)), 2)
+    partial("stage1")
 
     # render: one trajectory, then ALL 11 as ONE dispatch (exts differ per
     # trajectory, the point cloud doesn't — tile frames axis 11x)
@@ -381,6 +491,7 @@ def bench_two_stage():
         fence(frames)
         timings["render_compile_s" if warm else "render_per_traj_s"] = \
             round(time.perf_counter() - t0, 2)
+    partial("render")
 
     # teardown stage-1 models before stage 2 — the reference does exactly
     # this between stages (infer.py:997-1012 to-cpu + gc + empty_cache);
@@ -490,9 +601,11 @@ def bench_two_stage():
         return _two_stage_totals(timings)
 
     timings["stage2_compile_s"] = round(run_stage2(1), 2)
+    partial("stage2_compile")
     s2 = [round(run_stage2(1), 2) for _ in range(n_runs)]
     timings["stage2_runs"] = s2
     timings["stage2_per_traj_s"] = round(float(_np.median(s2)), 2)
+    partial("stage2")
 
     # production-readback sweep pair (serial vs two-deep pipelined): the
     # graphs are already compiled, so each k=2 variant costs ~2 trajectories
@@ -724,33 +837,74 @@ def bench_train():
         # keep only the message: the exception's traceback pins the failed
         # attempt's frames — and with them ~14 GiB of params/optimizer
         # arrays (round-4 dress run)
-        fallback_err = f"{policy}: {type(e).__name__}: {str(e)[:120]}"
+        fallback_err = f"{policy}: {type(e).__name__}: {str(e)[:200]}"
         e = None
     if fallback_err:
         # A failed big attempt cannot be recovered IN-PROCESS on this
         # relay: after a RESOURCE_EXHAUSTED execute, even deleting every
         # live array + jax.clear_caches() left the next 1 MiB jnp.zeros
         # RESOURCE_EXHAUSTED (round-4, twice) — the backend is poisoned
-        # until process exit.  Re-exec the leg with full-recompute
-        # 'nothing' in a FRESH subprocess and forward its numbers.
+        # until process exit.  Recovery therefore always re-execs in a
+        # FRESH subprocess.  Which policy to retry with depends on the
+        # failure class (VERDICT r4 #4): TRANSIENT relay errors (HTTP-500
+        # remote_compile, connection drops — the relay recovered after
+        # 434.6 s in the r4 outage) get the SAME policy again after a
+        # backoff, because falling straight back to 'nothing' both loses
+        # the better number AND dies on the same outage anyway (BENCH_r04:
+        # both attempts died on HTTP 500 within one minute).  Everything
+        # else (RESOURCE_EXHAUSTED, VMEM) degrades to full-recompute
+        # 'nothing' immediately.
         if os.environ.get("MORE4D_TRAIN_NO_FALLBACK") == "1":
             raise RuntimeError(fallback_err)
-        import subprocess
-        env = dict(os.environ, MORE4D_BENCH_MODE="train",
-                   MORE4D_TRAIN_REMAT="nothing",
-                   MORE4D_TRAIN_NO_FALLBACK="1")
-        dl = _leg_deadline()  # inf outside the driver -> finite cap
-        to = max(dl - time.time(), 240) if math.isfinite(dl) else 600
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           capture_output=True, text=True, env=env,
-                           timeout=to)
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
-        if r.returncode != 0 or not line:
-            raise RuntimeError(f"{fallback_err}; fallback subprocess "
-                               f"rc={r.returncode}: {r.stderr[-200:]}")
-        out = json.loads(line[-1])["extra"]
-        out["remat_fallback"] = fallback_err
-        return out
+
+        def _remaining():
+            dl = _leg_deadline()
+            return dl - time.time() if math.isfinite(dl) else 900.0
+
+        def _transient(msg):
+            return any(s in msg for s in (
+                "500", "remote_compile", "UNAVAILABLE", "Connection",
+                "connection", "socket", "DEADLINE_EXCEEDED", "Unavailable"))
+
+        def _reexec(pol):
+            import subprocess
+            env = dict(os.environ, MORE4D_BENCH_MODE="train",
+                       MORE4D_TRAIN_REMAT=pol,
+                       MORE4D_TRAIN_NO_FALLBACK="1")
+            to = min(max(_remaining(), 240), 600)
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    capture_output=True, text=True, env=env, timeout=to)
+            except Exception as se:  # TimeoutExpired etc.
+                return None, f"{pol}: {type(se).__name__}"
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")]
+            if r.returncode == 0 and line:
+                return json.loads(line[-1])["extra"], None
+            return None, (f"{pol}: rc={r.returncode}: "
+                          f"{(r.stderr or r.stdout)[-200:]}")
+
+        attempts = [fallback_err]
+        if _transient(fallback_err) and _remaining() > 300:
+            backoff = min(60.0, max(20.0, _remaining() / 8))
+            time.sleep(backoff)
+            res, err = _reexec(policy)
+            if res is not None:
+                res["relay_retry"] = {"after_s": round(backoff, 1),
+                                      "first_error": fallback_err}
+                return res
+            attempts.append(f"retry {err}")
+        res, err = _reexec("nothing")
+        if res is None and _transient(err or "") and _remaining() > 240:
+            time.sleep(30)
+            attempts.append(f"fallback {err}")
+            res, err = _reexec("nothing")
+        if res is None:
+            attempts.append(f"fallback {err}")
+            raise RuntimeError("; ".join(attempts))
+        res["remat_fallback"] = "; ".join(attempts)
+        return res
     tokens = lt * (lh // 2) * (lw // 2)
     flops = 3 * dit_forward_flops(cfg, tokens, batch=1)
     peak = detect_tpu_peak()
@@ -1045,6 +1199,7 @@ def bench_two_stage_14b():
             out[f"{tag}_vae_decode_s"] = None
         del host
         gc.collect()
+        _emit_partial("two_stage_14b_seconds", out, tag)
 
     # Whether stage 2 runs is decided AFTER stage 1 (its cost predicts
     # stage 2's: same park + same-size graph warmup + same step count).
@@ -1305,6 +1460,22 @@ def _relay_alive(timeout: float = 120, platform: str = None) -> bool:
         return False
 
 
+def _salvage_partial(captured, timeout, mode):
+    """Recover the last parseable JSON line from a killed leg's captured
+    stdout (the _emit_partial contract), tagging it as timed out."""
+    if isinstance(captured, bytes):
+        captured = captured.decode(errors="replace")
+    for line in reversed((captured or "").strip().splitlines()):
+        try:
+            res = json.loads(line)
+        except (ValueError, TypeError):
+            continue
+        if isinstance(res, dict):
+            res.setdefault("extra", {})["leg_timed_out_after_s"] = timeout
+            return res
+    return {"error": f"leg '{mode}' timed out after {timeout}s"}
+
+
 def _run_leg_subprocess(mode: str, timeout: int = 1500):
     """Run one leg in a fresh process (each leg needs the whole 16 GiB HBM
     to itself — streaming buffers, batch-11 sweeps and 1.3B params do not
@@ -1326,8 +1497,13 @@ def _run_leg_subprocess(mode: str, timeout: int = 1500):
                               env=env, capture_output=True, text=True,
                               timeout=timeout,
                               cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
-        return {"error": f"leg '{mode}' timed out after {timeout}s"}
+    except subprocess.TimeoutExpired as te:
+        # salvage: legs emit partial JSON lines as phases complete
+        # (_emit_partial), and TimeoutExpired carries the stdout captured
+        # before the kill — so a hard-killed leg still reports everything
+        # it finished instead of a bare timeout string (the r2/r3/r4
+        # two_stage failure mode)
+        return _salvage_partial(te.stdout, timeout, mode)
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
             return json.loads(line)
@@ -1345,6 +1521,7 @@ def _leg_denoise():
 
 
 _LEGS = {
+    "canary": ("kernel_canary", lambda: (None, bench_canary())),
     "denoise": ("denoise_steps_per_sec", _leg_denoise),
     "14b": ("14b_denoise", lambda: (None, bench_14b_measured())),
     "two_stage": ("two_stage_e2e_seconds",
@@ -1375,6 +1552,12 @@ _LEGS = {
 # sheds optional phases against MORE4D_BENCH_LEG_DEADLINE), so a trimmed
 # slice degrades a leg's optional sub-measurements, not its headline.
 _DEFAULT_RUN = [
+    # production-tile kernel canary runs FIRST: ~15 s warm-cache / ~60 s
+    # cold, and a failure (the class that zeroed BENCH_r04) is diagnosed
+    # in one line instead of five dead legs.  The legs still run after a
+    # canary failure — its error may be transient relay trouble, and the
+    # per-leg caps bound the damage either way.
+    ("canary", "MORE4D_BENCH_CANARY", 60, 240),
     # capped: on a dead or badly degraded relay an uncapped first leg
     # would eat the ENTIRE budget and starve every later leg.  The 81f
     # RIFLEx measurement is an in-process sub-leg here (extra.denoise_81f)
