@@ -397,16 +397,16 @@ def _xla_attention(q, k, v, kv_lens, sm_scale):
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _flash_attention_core(q, k, v, kv_lens, sm_scale, block_q, block_k,
-                          interpret, backward, ckpt_name):
+                          block_k_bwd, interpret, backward, ckpt_name):
     out, _ = _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k,
                             interpret)
     return out
 
 
-def _core_fwd(q, k, v, kv_lens, sm_scale, block_q, block_k, interpret,
-              backward, ckpt_name):
+def _core_fwd(q, k, v, kv_lens, sm_scale, block_q, block_k, block_k_bwd,
+              interpret, backward, ckpt_name):
     out, lse = _flash_forward(q, k, v, kv_lens, sm_scale, block_q, block_k,
                               interpret)
     if ckpt_name is not None:
@@ -425,12 +425,14 @@ def _core_fwd(q, k, v, kv_lens, sm_scale, block_q, block_k, interpret,
     return out, (q, k, v, kv_lens, out, lse)
 
 
-def _core_bwd(sm_scale, block_q, block_k, interpret, backward, ckpt_name,
-              res, g):
+def _core_bwd(sm_scale, block_q, block_k, block_k_bwd, interpret, backward,
+              ckpt_name, res, g):
     q, k, v, kv_lens, o, lse = res
     if backward == "pallas":
         dq, dk, dv = _flash_backward(q, k, v, kv_lens, o, lse, g, sm_scale,
-                                     block_q, block_k, interpret)
+                                     block_q,
+                                     block_k_bwd if block_k_bwd is not None
+                                     else block_k, interpret)
     else:  # O(L^2) XLA fallback
         _, vjp = jax.vjp(
             lambda q_, k_, v_: _xla_attention(q_, k_, v_, kv_lens, sm_scale),
@@ -447,6 +449,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     sm_scale: Optional[float] = None,
                     block_q: int = 512,
                     block_k: Optional[int] = None,
+                    block_k_bwd: Optional[int] = None,
                     interpret: Optional[bool] = None,
                     backward: str = "pallas",
                     ckpt_name: Optional[str] = None) -> jnp.ndarray:
@@ -455,7 +458,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kv_lens: optional [B] int32 — keys at positions >= kv_lens[b] are masked
     (the reference's `k_lens` semantics, wan_transformer4d.py:136-169).
     block_k: None picks the padding-minimising kv tile (forward); the
-    backward kernels use a fixed 1024 (their scratch doubles per tile).
+    backward kernels default to a fixed 1024 (their scratch doubles per
+    tile) unless block_k_bwd overrides it (bench.py fa_tune sweeps it).
     backward: "pallas" (O(L) memory, default) or "xla" (dense recompute).
     ckpt_name: tag the (o, lse) residuals '<ckpt_name>_o'/'<ckpt_name>_lse'
     for save_only_these_names remat policies (see _core_fwd).
@@ -473,7 +477,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
     out = _flash_attention_core(qt, kt, vt, kv_lens, sm_scale, block_q,
-                                block_k, interpret, backward, ckpt_name)
+                                block_k, block_k_bwd, interpret, backward,
+                                ckpt_name)
     return jnp.swapaxes(out, 1, 2)
 
 

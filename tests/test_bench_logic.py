@@ -71,7 +71,7 @@ def test_bench_zero_budget_emits_parseable_capture():
     for line in lines:
         assert {"metric", "value", "unit", "vs_baseline"} <= set(line)
     skipped = {s["leg"] for s in lines[-1]["extra"]["legs_skipped"]}
-    assert "denoise" in skipped and "two_stage_14b" in skipped
+    assert "denoise" in skipped and "two_stage_1.3b" in skipped
 
 
 def test_reserve_scheduling_all_legs_start_in_good_phase():

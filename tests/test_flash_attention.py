@@ -137,3 +137,26 @@ def test_pallas_backward_kv_lens():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(dk[0, :20]),
                                np.asarray(dk2[0, :20]), atol=1e-6)
+
+
+def test_pallas_backward_block_k_bwd_override():
+    """block_k_bwd sets the BACKWARD kv tile independently of the
+    forward's (bench.py fa_tune sweeps it); gradients must match the XLA
+    oracle at a non-default bwd tile, including under kv_lens masking."""
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(rng.randn(2, 40, 2, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 48, 2, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 48, 2, 32).astype(np.float32))
+    kv_lens = jnp.asarray(np.array([33, 48], np.int32))
+
+    def run(backward, bkb=None):
+        def f(q, k, v):
+            return jnp.sum(flash_attention(
+                q, k, v, kv_lens=kv_lens, block_q=16, block_k=16,
+                block_k_bwd=bkb, backward=backward) ** 2)
+
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(run("pallas", bkb=8), run("xla")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-4)
