@@ -814,8 +814,23 @@ def bench_train():
             _ = float(m["loss"])  # fence
             return time.perf_counter() - t0
 
+        # partial emission (same contract as the two_stage/lora legs): a
+        # leg killed mid-measurement still reports the steps it completed
+        part = {"remat_policy": policy, "split_step": split,
+                "method": "PARTIAL: train leg killed mid-run; values from "
+                          "the steps completed before the kill"}
+        t0 = time.perf_counter()
         run()  # compile
-        return min(run() for _ in range(3)), cfg
+        part["compile_s"] = round(time.perf_counter() - t0, 1)
+        _emit_partial("train_steps_per_sec", part, "compile")
+        times = []
+        for i in range(3):
+            times.append(run())
+            part["steps_per_sec"] = round(1.0 / min(times), 4)
+            part["step_ms"] = round(min(times) * 1e3, 1)
+            part["steps_measured"] = len(times)
+            _emit_partial("train_steps_per_sec", part, f"step_{i + 1}")
+        return min(times), cfg
 
     # remat_policy 'flash_lite_offload' saves the flash kernel's (o, lse)
     # residuals IN PINNED HOST MEMORY so the backward recompute walk never
@@ -1057,12 +1072,27 @@ def bench_train_14b_lora():
             lora, opt_state, batch, jax.random.PRNGKey(10 + i))
         return time.perf_counter() - t0, float(m["loss"])
 
+    # partial emission between phases: the park (fp8-quantize + pinned-host
+    # upload of 17B params) plus the first step's graph warmup exceed a
+    # thin slice on a slow relay phase (r5 dress run: killed at 231 s with
+    # nothing) — a killed leg now still reports every completed step
+    part = {"method": "PARTIAL: streamed fp8 14B LoRA leg killed mid-run; "
+                      "values are from the steps completed before the kill"}
+    _emit_partial("train_14b_lora_steps_per_sec", part, "park")
     compile_s, _ = run(0)
+    part["compile_s"] = round(compile_s, 1)
+    _emit_partial("train_14b_lora_steps_per_sec", part, "first_step")
     # deadline-adaptive step count: 3 measured steps normally, 2 when the
     # slice is thin (each step is ~10 s; the compile step above already
     # paid the graph warmup)
     n_meas = 3 if _leg_deadline() - time.time() > 45 else 2
-    times = [run(i)[0] for i in range(1, 1 + n_meas)]
+    times = []
+    for i in range(1, 1 + n_meas):
+        times.append(run(i)[0])
+        part["steps_per_sec"] = round(1.0 / float(np.median(times)), 4)
+        part["step_ms"] = round(float(np.median(times)) * 1e3, 1)
+        part["steps_measured"] = len(times)
+        _emit_partial("train_14b_lora_steps_per_sec", part, f"step_{i}")
     dt = float(np.median(times))
     tokens = lt * (lh // 2) * (lw // 2)
     fwd = dit_forward_flops(cfg, tokens, batch=1)
@@ -1072,6 +1102,7 @@ def bench_train_14b_lora():
         "steps_per_sec": round(1.0 / dt, 4),
         "step_ms": round(dt * 1e3, 1),
         "compile_s": round(compile_s, 1),
+        "steps_measured": n_meas,
         # useful = fwd + dgrad (base wgrad skipped: frozen); the bwd
         # recompute adds another ~1x fwd of hardware work not counted here
         "tflops_per_s_useful_2x_fwd": round(2 * fwd / dt / 1e12, 1),
@@ -1612,14 +1643,17 @@ _DEFAULT_RUN = [
     # (MORE4D_BENCH_SWEEP_K=0 below): it costs ~180 s and its conclusion —
     # serial beats batched on one chip at 9.2 s/trajectory — is stable.
     ("two_stage_1.3b", "MORE4D_BENCH_E2E", 200, 560),
-    # never driver-witnessed before round 4 (skipped at budget exhaustion
-    # in r3) — ahead of the r3-witnessed legs; internally deadline-adaptive
-    # (2 measured steps on a short slice, 3 otherwise)
-    ("train_14b_lora", "MORE4D_BENCH_14B_LORA", 170, 300),
     # train's value_and_grad graph has the worst relay warmup variance
     # (50-90 s good phase, >580 s bad phase measured) — capped so a bad
-    # phase can't starve the remaining legs
-    ("train_1.3b", "MORE4D_BENCH_TRAIN", 110, 240),
+    # phase can't starve the remaining legs.  Ordered BEFORE the 14B LoRA
+    # leg as of round 5: the unwitnessed 0.627 steps/s split-step claim
+    # (VERDICT r4 #4) outranks the lora leg, whose 17B park+compile ate a
+    # 231 s slice without reaching one step in the r5 dress run and then
+    # squeezed this leg to a 110 s floor it couldn't use
+    ("train_1.3b", "MORE4D_BENCH_TRAIN", 130, 280),
+    # internally deadline-adaptive (2 measured steps on a short slice, 3
+    # otherwise) + partial emission from inside the measurement loop
+    ("train_14b_lora", "MORE4D_BENCH_14B_LORA", 170, 300),
     # budget-adaptive (stage 2 and the decode drop themselves when the
     # slice is short — see bench_two_stage_14b), so even a thin tail slice
     # lands the stage-1 14B block.  Its stage-1 measures the EXACT config
