@@ -269,11 +269,25 @@ def bench_denoise():
         _ = float(jnp.sum(out.astype(jnp.float32)))  # force readback
         return time.perf_counter() - t0
 
+    # partial emission: the HEADLINE leg must survive a squeezed slice on
+    # a slow relay phase (r5 dress 3: post-outage, the 150 s floor slice
+    # died mid-compile with nothing).  After the chain compiles, every
+    # refinement of the steps/s estimate prints; main() promotes a
+    # salvaged partial's steps_per_sec to the headline value.
+    part = {"method": "PARTIAL: denoise leg killed mid-run; steps_per_sec "
+                      "is the estimate refined so far"}
     n_lo = 1
     n_hi = int(os.environ.get("MORE4D_BENCH_ITERS", "8"))
+    t0 = time.perf_counter()
     run(n_lo)            # warmup/compile (one graph serves all n)
-    t_lo = min(run(n_lo) for _ in range(2))
-    t_hi = min(run(n_hi) for _ in range(2))
+    part["compile_s"] = round(time.perf_counter() - t0, 1)
+    _emit_partial("denoise_steps_per_sec", part, "compile")
+    t_lo = run(n_lo)
+    t_hi = run(n_hi)
+    part["steps_per_sec"] = round((n_hi - n_lo) / max(t_hi - t_lo, 1e-9), 4)
+    _emit_partial("denoise_steps_per_sec", part, "first_pair")
+    t_lo = min(t_lo, run(n_lo))
+    t_hi = min(t_hi, run(n_hi))
     steps_per_sec = (n_hi - n_lo) / max(t_hi - t_lo, 1e-9)
 
     # analytic model FLOPs for the CFG-doubled step
@@ -425,6 +439,7 @@ def bench_two_stage():
 
     # stage 1: 50-step CFG-doubled control denoise + VAE decode
     control = jnp.broadcast_to(image[None, None], (1, t_frames, h, w, 3))
+    _emit_partial("two_stage_e2e_seconds", timings, "depth_lift")
     timings["stage1_teacache_ncalc"] = pinned_ncalc(dit4, p4)
     _emit_partial("two_stage_e2e_seconds", timings, "setup")
 
@@ -1801,8 +1816,13 @@ def main():
             os.environ.setdefault("MORE4D_BENCH_SWEEP_K", "0")
         res = _run_leg_subprocess(leg_mode, timeout=int(slice_s))
         if key == "denoise":
-            steps_per_sec = res.get("value") or 0.0
             leg_extra = res.get("extra", res)
+            # a salvaged partial has no "value" but carries the estimate
+            # refined before the kill — promote it so a squeezed slice
+            # still yields a headline number (honestly marked partial)
+            steps_per_sec = res.get("value") or (
+                leg_extra.get("steps_per_sec", 0.0)
+                if isinstance(leg_extra, dict) else 0.0) or 0.0
             extra.update(leg_extra if isinstance(leg_extra, dict)
                          else {"denoise": leg_extra})
         else:
