@@ -1667,8 +1667,13 @@ _DEFAULT_RUN = [
     # squeezed this leg to a 110 s floor it couldn't use
     ("train_1.3b", "MORE4D_BENCH_TRAIN", 130, 280),
     # internally deadline-adaptive (2 measured steps on a short slice, 3
-    # otherwise) + partial emission from inside the measurement loop
-    ("train_14b_lora", "MORE4D_BENCH_14B_LORA", 170, 300),
+    # otherwise) + partial emission from inside the measurement loop.
+    # Floor 240: the leg's real need is ~250 s in a good phase (boot 40 +
+    # 17B park 60-80 + first-step compile 105 + 2-3 steps at ~10 s; dress
+    # 4 was killed at a 217 s slice ~30 s short of its first measured
+    # step) — a 170 floor let earlier legs eat time this leg then burned
+    # without landing a number; a skip is cheaper than a doomed start
+    ("train_14b_lora", "MORE4D_BENCH_14B_LORA", 240, 320),
     # budget-adaptive (stage 2 and the decode drop themselves when the
     # slice is short — see bench_two_stage_14b), so even a thin tail slice
     # lands the stage-1 14B block.  Its stage-1 measures the EXACT config

@@ -82,10 +82,11 @@ def test_reserve_scheduling_all_legs_start_in_good_phase():
     run_list = [(k, f, c[0] if c else None)
                 for k, g, f, *c in bench._DEFAULT_RUN
                 if k not in bench._DEFAULT_OFF]
-    # good-phase wall costs incl. ~40 s process boot (round-3 captures;
-    # canary: 13 s of warm-cache checks + boot, measured round 5)
+    # good-phase wall costs incl. ~40 s process boot (round-3/5 captures;
+    # canary: 13 s of warm-cache checks + boot; lora: park + first-step
+    # compile + 2-3 steps, measured round 5)
     costs = {"canary": 60, "denoise": 190, "two_stage_1.3b": 280,
-             "train_14b_lora": 180, "train_1.3b": 110, "two_stage_14b": 200}
+             "train_14b_lora": 250, "train_1.3b": 110, "two_stage_14b": 200}
     t, started = 0.0, []
     for idx, (key, floor_s, cap) in enumerate(run_list):
         remaining = 900 - t
