@@ -186,6 +186,165 @@ def convert_dit_state_dict(sd, cfg: DiTConfig, seed: int = 0):
     return {"params": params}
 
 
+def wan_dit_key_manifest(cfg: DiTConfig):
+    """The exact torch-side key set of a reference WanTransformer3D/4D
+    state dict at this config — the released-Wan-checkpoint first-contact
+    verification protocol (scripts/check_wan.py; the DiT analog of
+    ``unidepth_decoder_key_manifest``).  Golden-tested against the
+    EXECUTED reference model's ``state_dict().keys()`` for the 3D-Control,
+    InP, and 4D-with-guidance variants (tests/test_check_wan.py).
+
+    Returns ``(required, optional_groups)``: every key in ``required``
+    must be present; each group in ``optional_groups`` (name -> key list)
+    is all-or-nothing — the converter fresh-inits an absent group with the
+    reference's strict=False load semantics (train_wan.py:824-859 /
+    wan_transformer4d.py:749-756: zero FiLM, xavier convs), so a PARTIAL
+    group means a drifted layout, not a 3D checkpoint.  Keys under the
+    ``omnimae_extractor.`` prefix (the frozen MPM trunk embedded in the 4D
+    model, wan_transformer4d.py:884) are counted but not diffed here —
+    they are consumed by the OmniMAE converter
+    (infer/encoders.build_mpm_extractor), not this one."""
+    def wb(p):
+        return [p + ".weight", p + ".bias"]
+
+    req = (wb("patch_embedding") + wb("text_embedding.0")
+           + wb("text_embedding.2") + wb("time_embedding.0")
+           + wb("time_embedding.2") + wb("time_projection.1")
+           + ["head.modulation"] + wb("head.head"))
+    if cfg.model_type == "i2v":
+        for i in (0, 1, 3, 4):
+            req += wb(f"img_emb.proj.{i}")
+    sg = []
+    for i in range(cfg.num_layers):
+        b = f"blocks.{i}"
+        req.append(f"{b}.modulation")
+        for a in ("self_attn", "cross_attn"):
+            for m in ("q", "k", "v", "o"):
+                req += wb(f"{b}.{a}.{m}")
+            if cfg.qk_norm:
+                req += [f"{b}.{a}.norm_q.weight",
+                        f"{b}.{a}.norm_k.weight"]
+        if cfg.model_type == "i2v":
+            req += wb(f"{b}.cross_attn.k_img") + wb(f"{b}.cross_attn.v_img")
+            if cfg.qk_norm:
+                req.append(f"{b}.cross_attn.norm_k_img.weight")
+        if cfg.cross_attn_norm:
+            req += wb(f"{b}.norm3")
+        req += wb(f"{b}.ffn.0") + wb(f"{b}.ffn.2")
+        if cfg.motion_guidance:
+            for n in ("spatial_guidance_self", "spatial_guidance_ffn"):
+                sg += wb(f"{b}.{n}.spatial_guide.1") + [f"{b}.{n}.gate"]
+    opt = {}
+    if cfg.motion_guidance:
+        opt["spatial_guidance"] = sg
+        opt["feature_adapter"] = (wb("feature_adapter.0")
+                                  + wb("feature_adapter.2"))
+    if cfg.ref_conv:
+        opt["ref_conv"] = wb("ref_conv")
+    return req, opt
+
+
+def load_wan_dit_strict(sd, cfg: DiTConfig, seed: int = 0):
+    """Convert + verify a released-layout Wan DiT state dict, failing
+    LOUDLY with the complete structured diff: (a) required keys the
+    checkpoint lacks, (b) keys the converter does not consume, (c)
+    partially-present optional groups, (d) converted leaves whose shapes
+    disagree with the WanDiT model graph (via jax.eval_shape — no
+    materialization, so the true 14B validates in seconds on CPU).
+    Returns ``(params, report)``; the patch-embed in_dim surgery
+    (48->64ch, wan_transformer4d.py:1505-1512) is exercised, not skipped.
+    Use this (not the tolerant converter) on first contact with a real
+    released checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.wan_dit import WanDiT
+
+    keys = set(sd)
+    omni = sorted(k for k in keys if k.startswith("omnimae_extractor."))
+    keys -= set(omni)
+    req, opt = wan_dit_key_manifest(cfg)
+    errors = []
+    missing = sorted(set(req) - keys)
+    if missing:
+        errors.append(f"checkpoint LACKS {len(missing)} required keys:\n  "
+                      + "\n  ".join(missing))
+    known = set(req)
+    groups = {}
+    for name, gkeys in opt.items():
+        known |= set(gkeys)
+        present = keys & set(gkeys)
+        if not present:
+            groups[name] = ("absent -> fresh-init with reference "
+                            "strict=False semantics")
+        elif len(present) == len(gkeys):
+            groups[name] = "present"
+        else:
+            absent = sorted(set(gkeys) - present)
+            errors.append(
+                f"optional group '{name}' is PARTIALLY present "
+                f"({len(present)}/{len(gkeys)}; drifted layout?) — "
+                f"missing:\n  " + "\n  ".join(absent))
+    unmapped = sorted(keys - known)
+    if unmapped:
+        errors.append(f"checkpoint has {len(unmapped)} keys the converter "
+                      f"does NOT consume:\n  " + "\n  ".join(unmapped))
+    if errors:
+        raise ValueError(f"Wan DiT strict load failed ({len(errors)} "
+                         f"problem group(s)):\n\n" + "\n\n".join(errors))
+
+    converted = convert_dit_state_dict(sd, cfg, seed=seed)
+
+    lt, lh, lw = 2, 8, 8
+    x = jnp.zeros((1, lt, lh, lw, 16), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    ctx = jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.float32)
+    kw = {}
+    if cfg.in_dim > 16:
+        kw["y"] = jnp.zeros((1, lt, lh, lw, cfg.in_dim - 16), jnp.float32)
+    if cfg.model_type == "i2v":
+        kw["clip_fea"] = jnp.zeros((1, cfg.clip_tokens, cfg.clip_dim),
+                                   jnp.float32)
+    if cfg.motion_guidance:
+        kw["mpm_features"] = jnp.zeros((1, 196, cfg.motion_feature_dim),
+                                       jnp.float32)
+    expect = jax.eval_shape(WanDiT(cfg).init, jax.random.PRNGKey(seed),
+                            x, t, ctx, **kw)
+
+    def walk(conv, exp, prefix=""):
+        if isinstance(conv, dict):
+            for k, v in conv.items():
+                if not isinstance(exp, dict) or k not in exp:
+                    errors.append(f"converted key {prefix}/{k} has no "
+                                  f"counterpart in the model graph")
+                    continue
+                walk(v, exp[k], f"{prefix}/{k}")
+            return
+        if tuple(np.shape(conv)) != tuple(exp.shape):
+            errors.append(f"shape mismatch at {prefix}: checkpoint -> "
+                          f"{tuple(np.shape(conv))}, model expects "
+                          f"{tuple(exp.shape)}")
+
+    def walk_missing(exp, conv, prefix=""):
+        if isinstance(exp, dict):
+            for k, v in exp.items():
+                if not isinstance(conv, dict) or k not in conv:
+                    errors.append(f"model expects {prefix}/{k} but the "
+                                  f"conversion did not produce it")
+                else:
+                    walk_missing(v, conv[k], f"{prefix}/{k}")
+
+    walk(converted["params"], expect["params"])
+    walk_missing(expect["params"], converted["params"])
+    if errors:
+        raise ValueError(f"Wan DiT strict load failed ({len(errors)} "
+                         f"problem group(s)):\n\n" + "\n\n".join(errors))
+    report = {"omnimae_embedded_keys": len(omni), "groups": groups,
+              "ckpt_in_dim": int(np.shape(sd["patch_embedding.weight"])[1]),
+              "model_in_dim": cfg.in_dim}
+    return converted, report
+
+
 def load_wan_dit(path: str, cfg: DiTConfig, prefer_ema: bool = False):
     """Load a Wan2.1-Fun transformer checkpoint directory or file.
 

@@ -109,6 +109,13 @@ def build_mpm_extractor(omnimae_ckpt: str, jit: bool = True,
                                   OMNIMAE_VARIANTS)
 
     sd = torch.load(omnimae_ckpt, map_location="cpu", weights_only=True)
+    # released 4D-STraG checkpoints EMBED the frozen trunk in the DiT state
+    # dict under 'omnimae_extractor.' (wan_transformer4d.py:884) — accept
+    # the combined file directly by stripping the prefix
+    emb = {k[len("omnimae_extractor."):]: v for k, v in sd.items()
+           if k.startswith("omnimae_extractor.")}
+    if emb:
+        sd = emb
     variant = infer_omnimae_variant(sd)
     model = omnimae_vit(variant)
     params = _cast_float_leaves(convert_omnimae_state_dict(

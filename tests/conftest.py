@@ -59,7 +59,7 @@ _SLOW_MODULES = {
     "test_clip_golden", "test_omnimae_golden", "test_xlm_roberta_golden",
     "test_adaptors_golden", "test_schedulers_golden", "test_unidepth",
     "test_pipelines", "test_two_stage", "test_train_harness",
-    "test_stage_clis", "test_infer_cli",
+    "test_stage_clis", "test_infer_cli", "test_check_wan",
 }
 
 
