@@ -109,6 +109,11 @@ def bench_canary():
                 f"KERNEL CANARY FAILED [{tag}] at production tile "
                 f"({tile}): {type(e).__name__}: {str(e)[:500]}") from e
         out[tag] = {"ok": True, "s": round(time.perf_counter() - t0, 1)}
+        # each passed graph is preserved even if the slice kills us
+        # mid-compile of the next one (the r5 dress-r5b failure mode:
+        # a bad relay phase blew the slice and the WHOLE leg reported
+        # only "timed out", though fwd+fwd_bwd had already passed)
+        _emit_partial("kernel_canary", out, tag)
 
     fwd = jax.jit(lambda q, k, v: flash_attention(
         q, k, v, kv_lens=lens, block_q=bq))
@@ -125,11 +130,18 @@ def bench_canary():
     # the graphs the train legs actually compile: the kernel under
     # jax.checkpoint with the named-(o,lse) save policy and its
     # pinned-host offload variant (wan_dit.remat_policy_of; the 'sa'
-    # residual tag matches WanSelfAttention's)
+    # residual tag matches WanSelfAttention's).  These are the OPTIONAL
+    # half of the canary: fwd guards the denoise/e2e legs and fwd_bwd the
+    # train legs' kernel; the policy wrappers only add coverage of the
+    # remat plumbing.  On a bad relay phase each cold grad compile can
+    # run 40-60 s, so shed them rather than let the slice kill the leg.
     from more4d_tpu.config import dit_1_3b
     from more4d_tpu.models.wan_dit import remat_policy_of
 
     for pol in ("flash_lite", "flash_lite_offload"):
+        if time.time() > _leg_deadline() - 60:
+            out.setdefault("shed", []).append(pol)
+            continue
         policy = remat_policy_of(dit_1_3b(remat=True, remat_policy=pol))
         wrapped = jax.checkpoint(
             lambda q, k, v: flash_attention(q, k, v, kv_lens=lens,
