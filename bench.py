@@ -477,6 +477,27 @@ def bench_two_stage():
     driver_mode = math.isfinite(deadline)
     n_runs = 1 if driver_mode else 2
 
+    # Degraded-relay feasibility gate (dress r5c): at relay_matmul_2k_ms
+    # 24.2-26.3 the server-side stage-1 compile is 192-215 s and the whole
+    # leg fits a ~318 s slice (dress 5 landed 21.16 s e2e); at 28.8 ms the
+    # compile alone exceeded 318 s and the burnt slice then starved BOTH
+    # train legs of their floors.  The compile is one blocking relay call —
+    # it cannot shed itself once started — so bail BEFORE it on the
+    # conjunction of a clearly degraded relay and a slice that is marginal
+    # even in a good phase, returning the slice to the train legs (which
+    # can still land numbers on a degraded relay: the r5c lora leg
+    # compiled in 116 s in the same phase).
+    gate_ms = float(os.environ.get("MORE4D_BENCH_RELAY_GATE_MS", "27.5"))
+    if driver_mode and timings.get("relay_matmul_2k_ms", 0.0) >= gate_ms \
+            and deadline - time.time() < 380:
+        timings["shed_insufficient_slice"] = {
+            "remaining_s": round(deadline - time.time(), 1),
+            "relay_matmul_2k_ms": timings["relay_matmul_2k_ms"],
+            "note": "degraded relay + marginal slice: stage-1 compile "
+                    "would not finish; slice donated to the train legs"}
+        _emit_partial("two_stage_e2e_seconds", timings, "infeasible_slice")
+        return timings
+
     def remaining():
         return deadline - time.time()
 
@@ -870,6 +891,24 @@ def bench_train():
     # 0.9 GiB), and the bigger offload sets lose to their transfers
     # (flash_offload 1.62, flash_ffn_offload 2.50).  Falls back to
     # full-recompute 'nothing' on exhaustion.
+    # Same degraded-relay feasibility gate as the two_stage leg (dress
+    # r5c: this leg died at its exact 130 s floor in a 28.8 ms relay
+    # phase; its good-phase need is ~110-170 s, so a floor-sized slice on
+    # a degraded relay is a doomed start that the 14B LoRA leg could have
+    # used).  Measure the relay ONCE up front (the device init it forces
+    # is paid by the first op anyway) and reuse the numbers in `out`.
+    health = relay_health()
+    gate_ms = float(os.environ.get("MORE4D_BENCH_RELAY_GATE_MS", "27.5"))
+    _dl = _leg_deadline()
+    if math.isfinite(_dl) and \
+            health.get("relay_matmul_2k_ms", 0.0) >= gate_ms and \
+            _dl - time.time() < 170:
+        return {**health, "shed_insufficient_slice": {
+            "remaining_s": round(_dl - time.time(), 1),
+            "note": "degraded relay + floor-sized slice: first-step "
+                    "compile would not finish; slice donated to the "
+                    "14B LoRA leg"}}
+
     policy = os.environ.get("MORE4D_TRAIN_REMAT", "flash_lite_offload")
     split = policy != "nothing"
     fallback_err = None
@@ -959,7 +998,7 @@ def bench_train():
                "flash_ffn": 3.15, "dots": 3.0}.get(
         policy[:-len("_offload")] if policy.endswith("_offload")
         else policy, 4.0)
-    out = {**relay_health(),
+    out = {**health,
            "remat_policy": policy,
            "steps_per_sec": round(1.0 / dt, 4),
            "step_ms": round(dt * 1e3, 1),
