@@ -365,6 +365,22 @@ def bench_two_stage():
 
     Stages (infer.py:1092-1142): depth lift -> STraG 50-step CFG denoise +
     VAE decode -> trajectory render sweep -> ViSM 50-step batched inpaint."""
+    # Entry gate, BEFORE any device work: every observed successful
+    # driver-mode run of this leg needed >=290 s wall (boot with three
+    # jit inits 40-90 s + setup ~50 s + stage-1 compile 192-215 s + one
+    # timed run + readback) — and in a slow relay phase the boot alone
+    # can exceed 160 s (dress r5d), so a later gate never even runs.  A
+    # slice under 280 s has never landed this leg; bail at ~0 cost and
+    # return it to the train legs.
+    _dl_e = _leg_deadline()
+    if math.isfinite(_dl_e) and _dl_e - time.time() < 280:
+        t_gate = {"shed_insufficient_slice": {
+            "remaining_s": round(_dl_e - time.time(), 1),
+            "note": "slice below the 290 s minimum every successful run "
+                    "needed (boot + setup + stage-1 compile + one run); "
+                    "donated to the train legs"}}
+        _emit_partial("two_stage_e2e_seconds", t_gate, "infeasible_slice")
+        return t_gate
     import numpy as _np
 
     from more4d_tpu.config import (PipelineConfig, VAEConfig, dit_1_3b)
@@ -452,6 +468,25 @@ def bench_two_stage():
     # stage 1: 50-step CFG-doubled control denoise + VAE decode
     control = jnp.broadcast_to(image[None, None], (1, t_frames, h, w, 3))
     _emit_partial("two_stage_e2e_seconds", timings, "depth_lift")
+
+    # Pure-budget gate (dress r5d): every observed SUCCESSFUL driver-mode
+    # run of this leg needed >=250 s from this point (setup compile ~50 s
+    # + stage-1 compile 192-215 s + one timed run + readback), while the
+    # post-outage r5d attempt burnt a whole 200 s slice without even
+    # finishing setup.  225 s keeps a margin below the observed success
+    # band (so a slow first-dispatch boot can't mis-skip a viable run)
+    # while converting certainly-doomed attempts into an immediate bail
+    # that returns the slice to the train legs.
+    _dl0 = _leg_deadline()
+    if math.isfinite(_dl0) and _dl0 - time.time() < 225:
+        timings["shed_insufficient_slice"] = {
+            "remaining_s": round(_dl0 - time.time(), 1),
+            "note": "slice cannot fit setup + stage-1 compile (>=250 s "
+                    "measured in every successful run); donated to the "
+                    "train legs"}
+        _emit_partial("two_stage_e2e_seconds", timings, "infeasible_slice")
+        return timings
+
     timings["stage1_teacache_ncalc"] = pinned_ncalc(dit4, p4)
     _emit_partial("two_stage_e2e_seconds", timings, "setup")
 
@@ -1847,12 +1882,34 @@ def main():
 
     run_list = [(k, g, f, c[0] if c else None)
                 for k, g, f, *c in _DEFAULT_RUN if _enabled(k, g)]
+    # Post-outage adjustments (dress r5d: the relay came back after 427 s
+    # and every leg then ran with cold reconnects and a gutted budget):
+    # the canary's verdict is subsumed by the denoise leg (same kernel,
+    # same tile) but its floor-sized slice dies inside the cold reconnect
+    # alone — skip it and give the headline leg the head start.  Every
+    # other leg pays the ~60-90 s cold boot too, so the floor CHECK rises
+    # by 60 s — a leg that no longer fits becomes a cheap skip instead of
+    # a doomed start (the slice itself is unchanged).
+    outage_penalty_s = 60 if "relay_recovered_after_s" in extra else 0
+    if outage_penalty_s:
+        skipped_canary = [(k, g, f, c) for k, g, f, c in run_list
+                          if k == "canary"]
+        if skipped_canary:
+            run_list = [r for r in run_list if r[0] != "canary"]
+            extra["legs_skipped"].append(
+                {"leg": "canary",
+                 "reason": "post-outage cold reconnect exceeds the floor "
+                           "slice; denoise leg provides the kernel "
+                           "verdict"})
     for idx, (key, env_gate, floor_s, cap) in enumerate(run_list):
         remaining = deadline - time.time()
-        if remaining < floor_s:
+        if remaining < floor_s + outage_penalty_s:
             extra["legs_skipped"].append(
                 {"leg": key, "reason": f"{remaining:.0f}s left < "
-                                       f"{floor_s}s floor"})
+                                       f"{floor_s + outage_penalty_s}s "
+                                       f"post-outage floor"
+                 if outage_penalty_s else
+                 f"{remaining:.0f}s left < {floor_s}s floor"})
             continue
         leg_mode = _KEY_TO_MODE.get(key, key)
         # slice = remaining, trimmed by (a) the leg's own cap — a leg
